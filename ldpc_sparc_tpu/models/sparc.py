@@ -1,0 +1,226 @@
+"""Pure-SPARC codec: encoder, AWGN channel, and the AMP decoder.
+
+TPU-native redesign of sparc_public/sparc.py:17-74 (encode/decode wrappers)
+and sparc_public/sparc.py:883-999 (`sparc_amp`):
+
+  * One unified code path for all base-matrix shapes. The reference branches
+    on W.ndim in {0,1,2} throughout its AMP loop; here W is always (Lr, Lc)
+    (plain SPARC = (1,1)) and the scalar/PA formulas fall out as the Lr=1
+    special case of the spatially-coupled ones.
+  * The iteration loop is a `lax.scan` with masked early stopping (the
+    reference's data-dependent `break` at sparc.py:984-986 does not jit);
+    converged state is frozen and carried to the end.
+  * The denoiser is the float32-safe log-domain softmax (ops/denoiser.py).
+  * Everything vmaps over a leading batch of codewords for Monte-Carlo.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SparcParams, DecodeParams, create_base_matrix
+from ..ops.transforms import SparcDesign
+from ..ops.denoiser import mmse_denoise, map_estimate
+from ..utils import bits as bitops
+from ..utils import rng as rngmod
+
+
+# --------------------------------------------------------------------------
+# Encoder / channel
+# --------------------------------------------------------------------------
+
+def sparc_encode(params: SparcParams, awgn_var: float, seed,
+                 key: Optional[jax.Array] = None):
+    """Encode a random message to a SPARC codeword.
+
+    Mirrors `sparc_encode` (sparc_public/sparc.py:17-53): random bits ->
+    message vector -> x = A @ beta0 through the seeded Hadamard design.
+
+    Returns (bits, beta0, x, design).
+    """
+    if key is None:
+        key = rngmod.root_key(seed)
+    bits = bitops.random_bits(rngmod.derive(key, rngmod.BITS), params.bit_len)
+    beta0 = bitops.bits_to_msg_vector(bits, params.M, params.K)
+    design = SparcDesign.for_params(params, awgn_var, seed)
+    x = design.ab(beta0)
+    return bits, beta0, x, design
+
+
+def awgn_channel(x: jnp.ndarray, awgn_var: float, key: jax.Array) -> jnp.ndarray:
+    """AWGN channel; complex inputs get circular noise of total variance
+    awgn_var (sparc_public/sparc_sim.py:179-204)."""
+    if jnp.iscomplexobj(x):
+        kr, ki = jax.random.split(key)
+        noise = (jax.random.normal(kr, x.shape) +
+                 1j * jax.random.normal(ki, x.shape)) * jnp.sqrt(awgn_var / 2)
+    else:
+        noise = jax.random.normal(key, x.shape) * jnp.sqrt(awgn_var)
+    return x + noise
+
+
+# --------------------------------------------------------------------------
+# AMP decoder
+# --------------------------------------------------------------------------
+
+class AmpState(NamedTuple):
+    beta: jnp.ndarray      # (LM,) current posterior-mean estimate
+    z: jnp.ndarray         # (n,)  modified residual
+    s: jnp.ndarray         # (LM,) effective observation
+    phi: jnp.ndarray       # (Lr,) residual variance per row block
+    psi: jnp.ndarray       # (Lc,) estimated NMSE per column block
+    stopped: jnp.ndarray   # ()    convergence flag
+    t_final: jnp.ndarray   # ()    iterations actually run
+
+
+class AmpResult(NamedTuple):
+    beta: jnp.ndarray        # hard-decision (MAP on s) message vector, unit amp
+    beta_mmse: jnp.ndarray   # final posterior-mean estimate
+    s: jnp.ndarray           # final effective observation
+    t_final: jnp.ndarray     # number of AMP iterations performed
+    nmse: jnp.ndarray        # (t_max, Lc) NMSE trajectory (vs beta0 if given)
+    psi: jnp.ndarray         # (Lc,) final estimated NMSE
+
+
+def amp_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
+               decode: DecodeParams, awgn_var: float,
+               beta0: Optional[jnp.ndarray] = None) -> AmpResult:
+    """AMP decoding of a SPARC codeword (sparc_public/sparc.py:883-999).
+
+    Per iteration (unified 2-D base-matrix form, Lr x Lc blocks):
+        gamma = W @ psi / Lc                       residual var minus noise var
+        z     = y - A beta + repeat(gamma/phi_prev, Mr) * z     (Onsager)
+        phi   = awgn_var + gamma            (phi_est_method=1)
+              | per-row-block mean |z|^2    (phi_est_method=2)
+        tau_c = (L/Mr) / (W^T (1/phi))_c           effective noise variance
+        s     = beta + repeat(tau, Mc) * A^T (z / repeat(phi, Mr))
+        beta  = MMSE eta(s, tau)
+        psi_c = 1 - sum|beta_c|^2 / (L/Lc)
+    with masked early stopping on allclose(psi, psi_prev, rtol) and a final
+    MAP hard decision on s (the reference's rationale at sparc.py:990-996).
+    """
+    W = jnp.asarray(create_base_matrix(params, awgn_var), dtype=jnp.float32)
+    Lr, Lc = W.shape
+    L, M, K = params.L, params.M, params.K
+    n, LM = design.n, design.LM
+    Mr, Mc = n // Lr, LM // Lc
+    t_max = decode.t_max
+    sec_per_col = L // Lc
+    atol = 2 * float(np.finfo(np.float32).resolution)
+
+    cdtype = y.dtype if jnp.iscomplexobj(y) else jnp.float32
+    beta_init = jnp.zeros(LM, dtype=cdtype)
+
+    def rep_r(v):  # (Lr,) -> (n,)
+        return jnp.repeat(v, Mr, total_repeat_length=n)
+
+    def rep_c(v):  # (Lc,) -> (LM,)
+        return jnp.repeat(v, Mc, total_repeat_length=LM)
+
+    def col_energy(b):
+        """sum |b|^2 per column block / (L/Lc)."""
+        e = jnp.sum(jnp.abs(b).reshape(Lc, Mc) ** 2, axis=1)
+        return e / sec_per_col
+
+    def iteration(state: AmpState, t) -> Tuple[AmpState, jnp.ndarray]:
+        beta, z, s_prev, phi_prev, psi_prev = (state.beta, state.z, state.s,
+                                               state.phi, state.psi)
+        first = t == 0
+        gamma = (W @ psi_prev) / Lc  # (Lr,) ; psi=1 at t=0 reproduces init
+
+        # Onsager-corrected residual (skipped at t=0 where z = y)
+        b_coef = jnp.where(first, 0.0, gamma / jnp.where(first, 1.0, phi_prev))
+        z_new = jnp.where(first, y, y - design.ab(beta) + rep_r(b_coef) * z)
+
+        if decode.phi_est_method == 1:
+            phi = awgn_var + gamma
+        else:
+            phi = jnp.mean(jnp.abs(z_new).reshape(Lr, Mr) ** 2, axis=1)
+
+        tau = (L / Mr) / (W.T @ (1.0 / phi))  # (Lc,)
+        s = beta + rep_c(tau) * design.az(z_new / rep_r(phi).astype(z_new.dtype))
+        beta_new = mmse_denoise(s, rep_c(1.0 / tau), M, K)
+        psi = 1.0 - col_energy(beta_new)
+
+        converged = jnp.logical_and(
+            t > 0,
+            jnp.all(jnp.abs(psi - psi_prev) <= atol + decode.rtol * jnp.abs(psi_prev)))
+
+        # Freeze once stopped: keep previous state verbatim.
+        stopped_before = state.stopped
+        keep = lambda old, new: jnp.where(stopped_before, old, new)
+        new_state = AmpState(
+            beta=keep(beta, beta_new), z=keep(z, z_new), s=keep(s_prev, s),
+            phi=keep(phi_prev, phi), psi=keep(psi_prev, psi),
+            stopped=jnp.logical_or(stopped_before, converged),
+            t_final=jnp.where(stopped_before, state.t_final, t + 1))
+
+        if beta0 is not None:
+            nmse_t = jnp.sum(jnp.abs(new_state.beta - beta0).reshape(Lc, Mc) ** 2,
+                             axis=1) / sec_per_col
+        else:
+            nmse_t = new_state.psi
+        return new_state, nmse_t
+
+    init = AmpState(beta=beta_init, z=jnp.zeros_like(y), s=beta_init,
+                    phi=jnp.ones(Lr, jnp.float32), psi=jnp.ones(Lc, jnp.float32),
+                    stopped=jnp.asarray(False), t_final=jnp.asarray(0))
+    # The reference runs t_max - 1 MMSE iterations then one MAP step
+    # (sparc.py:931,997).
+    final, nmse_traj = jax.lax.scan(iteration, init, jnp.arange(t_max - 1))
+    nmse = jnp.concatenate([jnp.ones((1, Lc), nmse_traj.dtype), nmse_traj])
+
+    beta_map = map_estimate(final.s, M, K)
+    return AmpResult(beta=beta_map, beta_mmse=final.beta, s=final.s,
+                     t_final=final.t_final, nmse=nmse, psi=final.psi)
+
+
+def sparc_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
+                 decode: DecodeParams, awgn_var: float,
+                 beta0: Optional[jnp.ndarray] = None):
+    """Decode wrapper (sparc_public/sparc.py:55-74): AMP + hard decision +
+    bits conversion + frame-error detection flag."""
+    res = amp_decode(y, design, params, decode, awgn_var, beta0)
+    expect_err = jnp.mean(res.psi) >= 0.001  # sparc.py:66-68
+    bits_out = bitops.msg_vector_to_bits(res.beta, params.M, params.K)
+    return bits_out, res, expect_err
+
+
+# --------------------------------------------------------------------------
+# End-to-end simulation
+# --------------------------------------------------------------------------
+
+def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
+              seed) -> dict:
+    """End-to-end single-trial simulation (sparc_public/sparc_sim.py:8-58).
+
+    Returns the reference's metric dict: ber, cer, t_final, nmse, detect,
+    plus section-error metrics.
+    """
+    from ..utils.metrics import (bit_error_rate, section_errors,
+                                 location_value_errors)
+
+    key = rngmod.root_key(seed)
+    bits_in, beta0, x, design = sparc_encode(params, awgn_var, seed, key)
+    y = awgn_channel(x, awgn_var, rngmod.derive(key, rngmod.CHANNEL))
+    bits_out, res, expect_err = sparc_decode(y, design, params, decode,
+                                             awgn_var, beta0)
+
+    ber = bit_error_rate(bits_in, bits_out)
+    cer = (ber > 0).astype(jnp.float32)
+    detect = (~jnp.logical_xor(ber > 0, expect_err)).astype(jnp.float32)
+    results = {"ber": ber, "cer": cer, "t_final": res.t_final,
+               "nmse": res.nmse, "detect": detect}
+    if not params.modulated:
+        err, ser = section_errors(beta0, res.beta, params.L)
+        results.update({"ser": ser, "num_of_sec_errs": jnp.sum(err)})
+    else:
+        (ler, ver, ser), _ = location_value_errors(beta0, res.beta, params.L)
+        results.update({"ser": ser, "ler": ler, "ver": ver})
+    return results

@@ -1,0 +1,34 @@
+"""Counter-based PRNG plumbing.
+
+Replaces the reference's ad-hoc `np.random.RandomState(seed)` re-seeding in
+every function (e.g. sparc_public/sparc_sim.py:194, sparc_sophie/sparc_new.py:31)
+with deterministic Threefry key derivation: one root key per experiment,
+`fold_in` tags per (component, trial, snr). RNG parity with numpy bit streams
+is explicitly distributional, not bit-exact (SURVEY.md section 7, hard parts).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+# Stable component tags for fold_in derivation.
+BITS = 0xB1
+DESIGN = 0xDE
+CHANNEL = 0xC4
+TRIAL = 0x7A
+
+
+def root_key(seed) -> jax.Array:
+    if isinstance(seed, (tuple, list)):
+        key = jax.random.key(int(seed[0]))
+        for s in seed[1:]:
+            key = jax.random.fold_in(key, int(s))
+        return key
+    return jax.random.key(int(seed))
+
+
+def derive(key: jax.Array, *tags: int) -> jax.Array:
+    for t in tags:
+        key = jax.random.fold_in(key, t)
+    return key

@@ -1,0 +1,63 @@
+"""AMP decoder tests: high-SNR exact decoding across all SPARC families,
+early stopping, and statistical agreement with state evolution."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldpc_sparc_tpu import SparcParams, DecodeParams, sparc_sim, sparc_se
+from ldpc_sparc_tpu.models import sparc as sparc_mod
+
+
+DEC = DecodeParams(t_max=25)
+
+
+@pytest.mark.parametrize("params", [
+    SparcParams(P=15.0, R=1.3, L=256, M=32),
+    SparcParams(P=15.0, R=1.4, L=256, M=32,
+                power_allocated=True, B=32, R_PA_ratio=1.0),
+    SparcParams(P=15.0, R=1.4, L=256, M=32,
+                spatially_coupled=True, omega=2, Lambda=8),
+    SparcParams(P=15.0, R=2.6, L=256, M=8, is_complex=True,
+                modulated=True, K=4),
+], ids=["plain", "pa", "sc", "mod-complex"])
+def test_high_snr_decodes_exactly(params):
+    res = sparc_sim(params, DEC, awgn_var=1.0, seed=0)
+    assert float(res["ber"]) == 0.0
+    assert float(res["ser"]) == 0.0
+    assert int(res["t_final"]) < DEC.t_max  # early stopping engaged
+
+
+def test_phi_est_method_2():
+    params = SparcParams(P=15.0, R=1.3, L=256, M=32)
+    res = sparc_sim(params, DecodeParams(t_max=25, phi_est_method=2),
+                    awgn_var=1.0, seed=0)
+    assert float(res["ber"]) == 0.0
+
+
+def test_amp_matches_state_evolution():
+    """Empirical NMSE trajectory tracks the SE prediction (the reference's
+    notebook-overlay validation, SURVEY.md section 4)."""
+    params = SparcParams(P=15.0, R=1.3, L=1024, M=32)
+    dec = DecodeParams(t_max=12)
+    psi_se, _ = sparc_se(awgn_var=1.0, params=params, t_max=12,
+                         mc_samples=4000, seed=0)
+    nmses = []
+    for seed in range(4):
+        res = sparc_sim(params, dec, awgn_var=1.0, seed=seed)
+        nmses.append(np.asarray(res["nmse"])[:, 0])
+    nmse = np.mean(nmses, axis=0)
+    # compare on the first few iterations (before convergence noise floor)
+    se = psi_se[:, 0]
+    for t in range(1, 5):
+        assert abs(nmse[t] - se[t]) < 0.08, (t, nmse[t], se[t])
+
+
+def test_noise_free_channel():
+    params = SparcParams(P=15.0, R=1.0, L=64, M=16)
+    key = jax.random.key(0)
+    bits, beta0, x, design = sparc_mod.sparc_encode(params, 0.01, seed=5, key=key)
+    bits_out, res, _ = sparc_mod.sparc_decode(x, design, params,
+                                              DecodeParams(t_max=8), 0.01, beta0)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits_out))
