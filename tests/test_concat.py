@@ -1,0 +1,89 @@
+"""Concatenated LDPC-SPARC decoder-family tests (small code, fast configs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ldpc_sparc_tpu.config import (SparcParams, LdpcParams, DecodeParams,
+                                   param_calc)
+from ldpc_sparc_tpu.models.ldpc import get_code
+from ldpc_sparc_tpu.models.concat import ConcatCodec, concat_sim, DECODERS
+
+
+def small_setup():
+    ldpc = LdpcParams(standard="802.16", rate="1/2", z=12)
+    code = get_code("802.16", "1/2", 12)
+    rate, L_sparc, L_sparc_ldpc, lengths = param_calc(
+        mults=2, logM=2, ldpc=ldpc, int_rate=0.5, R_sparc_ldpc=1.0,
+        ldpc_K=code.K)
+    sp = SparcParams(P=19.44, R=1.0, L=L_sparc_ldpc, M=4)
+    return sp, ldpc, lengths
+
+
+def test_encode_structure():
+    sp, ldpc, lengths = small_setup()
+    codec = ConcatCodec(sp, ldpc, lengths, True)
+    user_bits, total_bits, beta0, x, design = codec.encode(seed=0)
+    assert user_bits.size == lengths.k_ldpc
+    assert total_bits.size == sp.L * sp.logM
+    # LDPC structure: every encoded block has zero syndrome
+    H = codec.code.pcmat()
+    blocks = np.asarray(total_bits).reshape(lengths.mults, codec.code.N)
+    assert np.count_nonzero((blocks @ H.T) % 2) == 0
+    # systematic: info bits appear as block prefixes
+    np.testing.assert_array_equal(
+        blocks[:, :codec.code.K].reshape(-1), np.asarray(user_bits))
+    # amplitude convention: nonzeros are sqrt(n*P/L)
+    vals = np.asarray(beta0).reshape(sp.L, sp.M).max(axis=1)
+    np.testing.assert_allclose(vals, codec.c_amp, rtol=1e-5)
+    # power: E x^2 ~ P
+    assert abs(np.mean(np.asarray(x) ** 2) - sp.P) / sp.P < 0.2
+
+
+@pytest.mark.parametrize("decoder", [d for d in DECODERS
+                                     if d not in ("sequential_rerun",
+                                                  "amp_only")])
+def test_decoders_high_snr(decoder):
+    """Every decoder family recovers the user bits at high SNR."""
+    sp, ldpc, lengths = small_setup()
+    r = concat_sim(sp, ldpc, lengths, True, DecodeParams(t_max=10),
+                   awgn_var=19.44 / 8.0, seed=2, decoder=decoder)
+    assert float(r["ber"]) == 0.0, decoder
+
+
+def test_sequential_rerun_runs():
+    """The AMP-rerun variant executes; the reference documents it as a
+    known-weak decoder (performance_plots_notes.txt:16), so only sanity
+    (output shape, finite) is asserted."""
+    sp, ldpc, lengths = small_setup()
+    r = concat_sim(sp, ldpc, lengths, True, DecodeParams(t_max=10),
+                   awgn_var=19.44 / 8.0, seed=2, decoder="sequential_rerun")
+    assert r["bits_out"].size == lengths.k_ldpc
+    assert float(r["ber"]) <= 0.5
+
+
+def test_unprotected_prefix_path():
+    """Semi-protected split: unprotected sections decode via MAP, protected
+    via BP (sparc_ldpc_decode split, sparc_new.py:66-76)."""
+    ldpc = LdpcParams(standard="802.16", rate="1/2", z=12)
+    code = get_code("802.16", "1/2", 12)
+    from ldpc_sparc_tpu.config import ConcatLengths
+    L_un = 16
+    lengths = ConcatLengths(k_ldpc=code.K, mults=1, L_unprotected=L_un)
+    L_total = L_un + code.N // 2  # logM = 2
+    sp = SparcParams(P=19.44, R=1.0, L=L_total, M=4)
+    r = concat_sim(sp, ldpc, lengths, True, DecodeParams(t_max=10),
+                   awgn_var=19.44 / 8.0, seed=3, decoder="sequential")
+    assert r["bits_in"].size == code.K + L_un * 2
+    assert float(r["ber"]) == 0.0
+
+
+def test_ldpc_bool_false_plain_sparc_path():
+    """Unprotected path (ldpc_bool=False, sparc_new.py:78-81). Plain SPARC
+    with M=4 has a finite-length error floor (the very motivation for LDPC
+    concatenation, performance_plots_notes.txt), so only a small BER is
+    asserted — the LDPC-protected decoders above reach exactly 0."""
+    sp, ldpc, lengths = small_setup()
+    r = concat_sim(sp, ldpc, lengths, False, DecodeParams(t_max=10),
+                   awgn_var=19.44 / 8.0, seed=4, decoder="amp_only")
+    assert float(r["ber"]) < 0.03
