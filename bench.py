@@ -1,0 +1,93 @@
+"""Headline benchmark: SPARC AMP decode throughput on one TPU chip.
+
+Config: plain SPARC, L=1024 sections, M=512, R=1.0 — BASELINE.json config 1
+("plain SPARC AMP decode: L=1024, M=512, R=1.0").
+
+Metric: AMP iterations/second (one iteration = forward A.beta + adjoint
+A^T.z through the Hadamard design + the full MMSE denoiser + statistics),
+measured over a vmapped batch of codewords with a fixed-length scan (every
+iteration does identical work, so iterations = batch * (t_max-1) * reps).
+
+Baseline: the reference's closest stored datapoint is the SC decode-wave
+notebook — 17.4-24.8 s/run at 33-36 AMP iterations for L=2048/M=512
+(sparc_public/sparc_demo_sc_decode_wave.ipynb; ~0.55 s/iteration). Scaled to
+this benchmark's half-size code (L=1024/M=512), the reference CPU does
+~0.275 s/iteration => 3.64 iterations/s. BASELINE.md table row 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_ITERS_PER_S = 3.64  # reference CPU, scaled (see module docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ldpc_sparc_tpu.config import SparcParams, DecodeParams
+    from ldpc_sparc_tpu.ops.transforms import SparcDesign
+    from ldpc_sparc_tpu.models.sparc import amp_decode, awgn_channel
+    from ldpc_sparc_tpu.utils import bits as bitops
+
+    params = SparcParams(P=15.0, R=1.0, L=1024, M=512)
+    decode = DecodeParams(t_max=25)
+    awgn_var = 1.0
+    batch = 8
+    design = SparcDesign.for_params(params, awgn_var, seed=0)
+
+    key = jax.random.key(0)
+    bits = jax.vmap(lambda k: bitops.random_bits(k, params.bit_len))(
+        jax.random.split(key, batch))
+    beta0 = jax.vmap(lambda b: bitops.bits_to_msg_vector(b, params.M))(bits)
+    x = design.ab(beta0)
+    y = awgn_channel(x, awgn_var, jax.random.fold_in(key, 7))
+
+    @jax.jit
+    def decode_batch(y):
+        res = jax.vmap(
+            lambda yy: amp_decode(yy, design, params, decode, awgn_var))(y)
+        return res.beta, res.t_final
+
+    # warmup / compile
+    beta, t_final = decode_batch(y)
+    beta.block_until_ready()
+
+    # correctness gate: the benchmark decode must actually succeed
+    bits_out = jax.vmap(
+        lambda b: bitops.msg_vector_to_bits(b, params.M))(beta)
+    ber = float(jnp.mean(bits.astype(jnp.int32) != bits_out.astype(jnp.int32)))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        beta, _ = decode_batch(y)
+    beta.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    iters = batch * (decode.t_max - 1) * reps
+    iters_per_s = iters / dt
+    info_bits_per_s = batch * reps * params.bit_len / dt
+
+    result = {
+        "metric": "sparc_amp_iterations_per_s",
+        "value": round(iters_per_s, 2),
+        "unit": "AMP iterations/s/chip (L=1024, M=512, R=1.0)",
+        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+        "extra": {
+            "decoded_info_bits_per_s": round(info_bits_per_s, 1),
+            "bench_ber": ber,
+            "batch": batch,
+            "t_max": decode.t_max,
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

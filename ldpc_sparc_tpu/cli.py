@@ -1,0 +1,221 @@
+"""Command-line entry points.
+
+Replaces the reference's edit-the-script experiment configuration
+(ldpc_sparc/performance_plots_general.py:19-66 module constants and the
+positional-integer job selector of ldpc_jossy/py/ldpc_awgn.py:125-131) with
+argparse subcommands:
+
+  python -m ldpc_sparc_tpu.cli sparc-sweep   --L 1024 --M 512 --R 1.0 ...
+  python -m ldpc_sparc_tpu.cli ldpc-campaign --standard 802.11n --rate 1/2 ...
+  python -m ldpc_sparc_tpu.cli concat-sweep  --decoders sequential,naive ...
+  python -m ldpc_sparc_tpu.cli results2csv   results.txt results.csv
+
+Campaigns write to a resumable JSONL store and export reference-format
+results.txt/.csv plus waterfall plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="results")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (cpu/axon/tpu)")
+
+
+def _init_jax(args):
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    return jax
+
+
+def cmd_sparc_sweep(args):
+    _init_jax(args)
+    from .config import SparcParams, DecodeParams
+    from .parallel.montecarlo import sparc_ber_sweep
+    from .io.results import ResultsStore
+
+    kwargs = dict(P=args.P, R=args.R, L=args.L, M=args.M)
+    if args.spatially_coupled:
+        kwargs.update(spatially_coupled=True, omega=args.omega,
+                      Lambda=args.Lambda)
+    if args.power_allocated:
+        kwargs.update(power_allocated=True, B=args.B,
+                      R_PA_ratio=args.R_PA_ratio)
+    params = SparcParams(**kwargs)
+    decode = DecodeParams(t_max=args.t_max)
+    snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
+    store = ResultsStore(Path(args.out) / "sparc_sweep.jsonl")
+    rows = []
+    for snr in snrs:
+        key = f"sparc:L{args.L}:M{args.M}:R{args.R}:snr{snr:.3f}:s{args.seed}"
+        if store.has(key):
+            rows.append(store.get(key))
+            continue
+        [row] = sparc_ber_sweep(params, decode, [params.P / snr],
+                                args.seed, args.trials)
+        row["snr_db"] = 10 * np.log10(snr)
+        row["snr"] = float(snr)
+        store.append(key, row)
+        rows.append({"key": key, **row})
+        print(json.dumps({"snr": float(snr), "ber": row["ber"],
+                          "ser": row["ser"]}))
+    return rows
+
+
+def cmd_ldpc_campaign(args):
+    _init_jax(args)
+    from .config import LdpcParams
+    from .parallel.montecarlo import ldpc_waterfall_campaign
+    from .io.results import (ResultsStore, record_to_tuple_line,
+                             records_to_csv, plot_waterfalls)
+
+    params = LdpcParams(standard=args.standard, rate=args.rate, z=args.z,
+                        ptype=args.ptype)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    txt = out / "results.txt"
+
+    def on_point(rec):
+        with open(txt, "a") as f:
+            f.write(record_to_tuple_line(rec) + "\n")
+        print(json.dumps({"snr": rec[3], "blocks": rec[4],
+                          "block_errs": rec[5]}))
+
+    recs = ldpc_waterfall_campaign(
+        params, seed=args.seed, n_measurements=args.points,
+        min_errors=args.min_errors, max_blocks=args.max_blocks,
+        batch=args.batch, dectype=args.dectype, max_iters=args.max_iters,
+        on_point=on_point)
+    records_to_csv(recs, out / "results.csv")
+    plot_waterfalls(recs, out / "waterfall.png")
+    return recs
+
+
+def cmd_concat_sweep(args):
+    _init_jax(args)
+    from .config import (SparcParams, LdpcParams, DecodeParams, param_calc)
+    from .models.ldpc import get_code
+    from .models.concat import concat_sim
+    from .io.results import ResultsStore, plot_ber_sweep
+
+    ldpc = LdpcParams(standard=args.standard, rate=args.rate, z=args.z)
+    code = get_code(args.standard, args.rate, args.z)
+    int_rate = ldpc.rate_float
+    rate, L_sparc, L_sparc_ldpc, lengths = param_calc(
+        args.mults, args.logM, ldpc, int_rate, args.R_sparc, code.K)
+    sp_plain = SparcParams(P=args.P, R=rate, L=L_sparc, M=2 ** args.logM)
+    sp_ldpc = SparcParams(P=args.P, R=args.R_sparc, L=L_sparc_ldpc,
+                          M=2 ** args.logM)
+    decode = DecodeParams(t_max=args.t_max)
+    decoders = args.decoders.split(",")
+    snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
+    store = ResultsStore(Path(args.out) / "concat_sweep.jsonl")
+    series = {d: [] for d in decoders}
+    for snr in snrs:
+        awgn_var = args.P / snr
+        for d in decoders:
+            key = f"concat:{d}:snr{snr:.3f}:s{args.seed}"
+            if store.has(key):
+                series[d].append(store.get(key))
+                continue
+            bers = []
+            for run in range(args.runs):
+                sp = sp_plain if d == "amp_only" else sp_ldpc
+                r = concat_sim(sp, ldpc, lengths, d != "amp_only", decode,
+                               awgn_var, (args.seed, run), decoder=d)
+                bers.append(float(r["ber"]))
+            row = {"snr_db": float(snr), "ber": float(np.mean(bers)),
+                   "ber_min": float(np.min(bers)),
+                   "ber_max": float(np.max(bers)), "decoder": d}
+            store.append(key, row)
+            series[d].append(row)
+            print(json.dumps(row))
+    plot_ber_sweep([series[d] for d in decoders], decoders,
+                   Path(args.out) / "concat_sweep.png")
+    return series
+
+
+def cmd_results2csv(args):
+    from .io.results import results_txt_to_csv
+    out = results_txt_to_csv(args.input, args.output)
+    if args.output is None:
+        sys.stdout.write(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ldpc_sparc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sparc-sweep", help="SPARC AMP BER sweep")
+    _add_common(p)
+    p.add_argument("--P", type=float, default=15.0)
+    p.add_argument("--R", type=float, default=1.3)
+    p.add_argument("--L", type=int, default=1024)
+    p.add_argument("--M", type=int, default=32)
+    p.add_argument("--t-max", type=int, default=25)
+    p.add_argument("--trials", type=int, default=64)
+    p.add_argument("--num-snrs", type=int, default=8)
+    p.add_argument("--snr-start", type=float, default=6.0)
+    p.add_argument("--snr-stop", type=float, default=20.0)
+    p.add_argument("--spatially-coupled", action="store_true")
+    p.add_argument("--omega", type=int, default=6)
+    p.add_argument("--Lambda", type=int, default=32)
+    p.add_argument("--power-allocated", action="store_true")
+    p.add_argument("--B", type=int, default=32)
+    p.add_argument("--R-PA-ratio", type=float, default=1.0)
+    p.set_defaults(fn=cmd_sparc_sweep)
+
+    p = sub.add_parser("ldpc-campaign", help="LDPC BER waterfall campaign")
+    _add_common(p)
+    p.add_argument("--standard", default="802.11n")
+    p.add_argument("--rate", default="1/2")
+    p.add_argument("--z", type=int, default=27)
+    p.add_argument("--ptype", default="A")
+    p.add_argument("--points", type=int, default=24)
+    p.add_argument("--min-errors", type=int, default=100)
+    p.add_argument("--max-blocks", type=int, default=400000)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--dectype", default="sumprod2")
+    p.add_argument("--max-iters", type=int, default=200)
+    p.set_defaults(fn=cmd_ldpc_campaign)
+
+    p = sub.add_parser("concat-sweep", help="concatenated decoder BER sweep")
+    _add_common(p)
+    p.add_argument("--standard", default="802.16")
+    p.add_argument("--rate", default="1/2")
+    p.add_argument("--z", type=int, default=150)
+    p.add_argument("--P", type=float, default=19.44)
+    p.add_argument("--mults", type=int, default=4)
+    p.add_argument("--logM", type=int, default=1)
+    p.add_argument("--R-sparc", type=float, default=1.0)
+    p.add_argument("--t-max", type=int, default=25)
+    p.add_argument("--runs", type=int, default=5)
+    p.add_argument("--num-snrs", type=int, default=10)
+    p.add_argument("--snr-start", type=float, default=2.0)
+    p.add_argument("--snr-stop", type=float, default=6.0)
+    p.add_argument("--decoders",
+                   default="amp_only,sequential,naive,integrated")
+    p.set_defaults(fn=cmd_concat_sweep)
+
+    p = sub.add_parser("results2csv",
+                       help="convert reference results.txt to CSV")
+    p.add_argument("input")
+    p.add_argument("output", nargs="?", default=None)
+    p.set_defaults(fn=cmd_results2csv)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,11 +117,11 @@ def amp_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
     cdtype = y.dtype if jnp.iscomplexobj(y) else jnp.float32
     beta_init = jnp.zeros(LM, dtype=cdtype)
 
-    def rep_r(v):  # (Lr,) -> (n,)
-        return jnp.repeat(v, Mr, total_repeat_length=n)
+    def rep_r(v):  # (Lr,) -> (n,): broadcast each row-block stat over Mr
+        return jnp.broadcast_to(v[:, None], (Lr, Mr)).reshape(n)
 
-    def rep_c(v):  # (Lc,) -> (LM,)
-        return jnp.repeat(v, Mc, total_repeat_length=LM)
+    def rep_c(v):  # (Lc,) -> (LM,): broadcast each col-block stat over Mc
+        return jnp.broadcast_to(v[:, None], (Lc, Mc)).reshape(LM)
 
     def col_energy(b):
         """sum |b|^2 per column block / (L/Lc)."""

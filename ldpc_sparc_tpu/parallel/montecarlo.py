@@ -1,0 +1,217 @@
+"""Data-parallel Monte-Carlo fan-out over a device mesh.
+
+TPU-native replacement for the reference's scale-out story — 36 CLI jobs on
+a grid engine appending to a shared results file
+(ldpc_jossy/py/ldpc_awgn.py:60-131) and the num_of_runs x num_snrs Python
+loops of ldpc_sparc/performance_plots_general.py:101-118:
+
+  * per chip, trials are `vmap`ed (one fused program decodes a whole batch)
+  * across chips, the batch is `shard_map`ed over the mesh 'dp' axis with
+    error/iteration counters reduced by `psum` — the collective rides ICI
+    within a slice, DCN across slices
+  * per-trial randomness is a fold_in of (device, trial) into one root key —
+    deterministic and machine-count independent
+
+Each dp shard gets its own seeded design matrix (the reference draws a fresh
+A per run, performance_plots_general.py:102); trials within a shard share
+the design, which is statistically benign for BER averaging and keeps HBM
+footprint flat.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..config import SparcParams, DecodeParams, LdpcParams, create_base_matrix
+from ..ops.transforms import SparcDesign
+from ..ops.denoiser import map_estimate
+from ..models.sparc import amp_decode, awgn_channel
+from ..models.ldpc import LdpcCode
+from ..utils import bits as bitops
+from ..utils import rng as rngmod
+
+
+# --------------------------------------------------------------------------
+# SPARC Monte Carlo
+# --------------------------------------------------------------------------
+
+def _stack_designs(params: SparcParams, awgn_var: float, seed,
+                   count: int) -> SparcDesign:
+    designs = [SparcDesign.for_params(params, awgn_var, (seed, d))
+               for d in range(count)]
+    d0 = designs[0]
+    return SparcDesign(
+        jnp.stack([d.order0 for d in designs]),
+        jnp.stack([d.order1 for d in designs]),
+        d0.scale, d0.rows, d0.cols, d0.Lr, d0.Lc, d0.Mr, d0.Mc,
+        d0.w, d0.n, d0.LM)
+
+
+def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
+                    awgn_var: float, seed, n_trials: int,
+                    mesh: Optional[jax.sharding.Mesh] = None) -> Dict[str, np.ndarray]:
+    """Run n_trials independent SPARC encode->AWGN->AMP->count trials.
+
+    Returns psum-reduced counters: bit_errs, bits, frame_errs, frames,
+    sec_errs, sections, iters.
+    """
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh(sec=1)
+    n_dp = mesh.shape["dp"]
+    assert n_trials % n_dp == 0, "n_trials must divide evenly over dp"
+    local_trials = n_trials // n_dp
+
+    designs = _stack_designs(params, awgn_var, seed, n_dp)
+    root = rngmod.root_key(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+        jnp.arange(n_trials))
+
+    M, K, L = params.M, params.K, params.L
+
+    def one_trial(key, design):
+        kb = rngmod.derive(key, rngmod.BITS)
+        kc = rngmod.derive(key, rngmod.CHANNEL)
+        bits = bitops.random_bits(kb, params.bit_len)
+        beta0 = bitops.bits_to_msg_vector(bits, M, K)
+        y = awgn_channel(design.ab(beta0), awgn_var, kc)
+        res = amp_decode(y, design, params, decode, awgn_var)
+        bits_out = bitops.msg_vector_to_bits(res.beta, M, K)
+        bit_errs = jnp.sum(bits != bits_out)
+        sec_errs = jnp.sum(jnp.any(
+            (res.beta != beta0).reshape(L, M), axis=1))
+        return bit_errs, sec_errs, res.t_final
+
+    def shard_fn(keys_local, order0, order1):
+        d = SparcDesign(order0[0], order1[0], designs.scale, designs.rows,
+                        designs.cols, designs.Lr, designs.Lc, designs.Mr,
+                        designs.Mc, designs.w, designs.n, designs.LM)
+        be, se, it = jax.vmap(lambda k: one_trial(k, d))(keys_local)
+        out = jnp.stack([jnp.sum(be), jnp.sum(se), jnp.sum(be > 0),
+                         jnp.sum(it)])
+        return jax.lax.psum(out, "dp")[None]
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, check_vma=False,
+        in_specs=(P("dp"), P("dp", None, None), P("dp", None, None)),
+        out_specs=P("dp")))
+    out = np.asarray(fn(keys, designs.order0, designs.order1))[0]
+    return {
+        "bit_errs": int(out[0]), "bits": n_trials * params.bit_len,
+        "sec_errs": int(out[1]), "sections": n_trials * L,
+        "frame_errs": int(out[2]), "frames": n_trials,
+        "iters": int(out[3]),
+    }
+
+
+def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
+                    awgn_vars, seed, n_trials: int,
+                    mesh: Optional[jax.sharding.Mesh] = None):
+    """BER/SER/FER at each noise level (the performance_plots sweep)."""
+    rows = []
+    for i, v in enumerate(np.atleast_1d(awgn_vars)):
+        c = sparc_mc_counts(params, decode, float(v), (seed, i), n_trials,
+                            mesh)
+        rows.append({
+            "awgn_var": float(v),
+            "ber": c["bit_errs"] / c["bits"],
+            "ser": c["sec_errs"] / c["sections"],
+            "fer": c["frame_errs"] / c["frames"],
+            "avg_iters": c["iters"] / c["frames"],
+            **c})
+    return rows
+
+
+# --------------------------------------------------------------------------
+# LDPC waterfall campaign (ldpc_awgn.py:60-123 semantics, batched + sharded)
+# --------------------------------------------------------------------------
+
+def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
+                       max_iters: int, dectype: str,
+                       mesh: Optional[jax.sharding.Mesh]):
+    """Decode one batch of random codewords at SNR (dB); returns
+    (bit_errs, block_errs, iters) summed over the batch."""
+    sigma2 = 1.0 / 10 ** (snr_db / 10.0)
+    K, N = code.K, code.N
+
+    def one(key):
+        ku, kn = jax.random.split(key)
+        u = jax.random.bernoulli(ku, 0.5, (K,)).astype(jnp.int32)
+        x = code.encode(u)
+        xm = 1.0 - 2.0 * x  # BPSK (ldpc_awgn.py:55-57)
+        y = xm + jnp.sqrt(sigma2) * jax.random.normal(kn, (N,))
+        llr = 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
+        from ..ops.bp import _decode_single
+        res = _decode_single(llr.astype(jnp.float32), code.graph, max_iters,
+                             dectype != "minsum", jnp.float32(0.7))
+        xh = (res.app < 0).astype(jnp.int32)
+        biterrs = jnp.sum(x != xh)
+        return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
+
+    if mesh is None:
+        be, bl, it = jax.jit(jax.vmap(one))(keys)
+        return int(jnp.sum(be)), int(jnp.sum(bl)), int(jnp.sum(it))
+
+    def shard_fn(keys_local):
+        be, bl, it = jax.vmap(one)(keys_local)
+        out = jnp.stack([jnp.sum(be), jnp.sum(bl), jnp.sum(it)])
+        return jax.lax.psum(out, "dp")[None]
+
+    fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=P("dp"),
+                               out_specs=P("dp")))
+    out = np.asarray(fn(keys))[0]
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
+                            n_measurements: int = 24,
+                            c_awgn_offset: float = 1.0, p_step: float = 100.0,
+                            min_errors: int = 100, max_blocks: int = 400000,
+                            batch: int = 128, dectype: str = "sumprod2",
+                            max_iters: int = 200,
+                            mesh: Optional[jax.sharding.Mesh] = None,
+                            on_point=None):
+    """Adaptive-SNR BER waterfall measurement (sim(), ldpc_awgn.py:60-123).
+
+    Per SNR point, decodes batches of `batch` random codewords until
+    min_errors block errors (or max_blocks), then steps
+    SNR += sqrt(p_step / nblocks) — the reference's heuristic (:116).
+    `on_point(record)` is called after each measured point (for the
+    resumable results store).
+
+    Returns the list of measurement records in the reference's tuple schema
+    (standard, rate, z, SNR, nblocks, nblockerrors, nbits, nbiterrors, niters).
+    """
+    from ..models.ldpc import get_code
+    code = get_code(ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
+                    ldpc_params.ptype)
+    R = ldpc_params.rate_float
+    snr = 10.0 * np.log10(2.0 ** R - 1.0) + c_awgn_offset
+    root = rngmod.root_key(seed)
+    records = []
+    ctr = 0
+    for point in range(n_measurements):
+        nbit = nblk = nblocks = nit = 0
+        while nblk < min_errors and nblocks < max_blocks:
+            keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+                jnp.arange(ctr, ctr + batch))
+            ctr += batch
+            be, bl, it = _ldpc_block_counts(code, snr, keys, max_iters,
+                                            dectype, mesh)
+            nbit += be
+            nblk += bl
+            nit += it
+            nblocks += batch
+        rec = (ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
+               float(snr), nblocks, nblk, nblocks * code.K, nbit, nit)
+        records.append(rec)
+        if on_point is not None:
+            on_point(rec)
+        snr += float(np.sqrt(p_step / nblocks))
+    return records

@@ -1,0 +1,215 @@
+"""Section-sharded SPARC AMP: the tensor/sequence-parallel axis.
+
+The spatially-coupled base matrix factors the design matrix into
+(Lr x Lc) independent Hadamard blocks (sparc_public/sparc.py:831-875);
+that block structure *is* the decomposition to shard across chips
+(SURVEY.md section 5, long-context analogue). Here:
+
+  * beta / s / tau / psi are sharded along the column-block (section) axis
+    'sec'; the residual z and the row statistics phi are replicated
+  * forward A.beta: each device transforms only its own column blocks and
+    the row-block partial sums are reduced with `psum` over 'sec' (ICI)
+  * adjoint A^T.z: needs only the replicated z — no communication
+  * gamma = W @ psi / Lc is a psum of per-device partial matvecs
+  * the early-stop test psums a local convergence predicate
+
+Composes with the 'dp' trial axis: the exported sim step runs on a
+('dp', 'sec') mesh, vmapping local trials inside each shard — this is the
+dp x tp layout the driver's dryrun_multichip validates.
+
+Requires every base-matrix column to hold the same number of nonzero blocks
+(true for (omega, Lambda) SC matrices: exactly omega per column, and for
+PA/plain matrices: one per column).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..config import SparcParams, DecodeParams, create_base_matrix
+from ..ops.wht import fwht
+from ..ops.transforms import SparcDesign, generate_orderings
+from ..ops.denoiser import mmse_denoise, map_estimate
+from ..utils import bits as bitops
+from ..utils import rng as rngmod
+
+
+class ShardedDesign:
+    """Column-major-ordered design blocks, shardable along the 'sec' axis."""
+
+    def __init__(self, params: SparcParams, awgn_var: float, seed):
+        W = create_base_matrix(params, awgn_var)
+        Lr, Lc = W.shape
+        L, M = params.L, params.M
+        n = params.codeword_length()
+        Mr, Mc = n // Lr, (L * M) // Lc
+        # reuse the row-major ordering generator, then sort blocks column-major
+        w = 1 << (max(Mr + 1, Mc + 1) - 1).bit_length()
+        rows, cols, o0, o1 = generate_orderings(W, Mr, Mc, w, seed)
+        order = np.lexsort((rows, cols))  # column-major
+        rows, cols = rows[order], cols[order]
+        per_col = np.bincount(cols, minlength=Lc)
+        assert np.all(per_col == per_col[0]), \
+            "section sharding needs equal nonzero blocks per column"
+        self.blocks_per_col = int(per_col[0])
+        self.W = W
+        self.params = params
+        self.Lr, self.Lc, self.Mr, self.Mc, self.w, self.n = Lr, Lc, Mr, Mc, w, n
+        self.rows = jnp.asarray(rows.astype(np.int32))
+        self.cols = jnp.asarray(cols.astype(np.int32))
+        self.order0 = jnp.asarray(o0[order])
+        self.order1 = jnp.asarray(o1[order])
+        self.scale = jnp.asarray(np.sqrt(W[rows, cols] / L).astype(np.float32))
+
+
+def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
+                          awgn_var: float, mesh: jax.sharding.Mesh,
+                          seed=0):
+    """Build the jitted ('dp','sec')-sharded Monte-Carlo simulation step.
+
+    Returns (step_fn, n_dp): step_fn(keys) runs len(keys) trials (sharded
+    over 'dp', sections sharded over 'sec') and returns globally psum-reduced
+    [bit_errs, sec_errs, frame_errs, iter_sum].
+    """
+    sd = ShardedDesign(params, awgn_var, seed)
+    n_sec = mesh.shape["sec"]
+    n_dp = mesh.shape["dp"]
+    Lr, Lc, Mr, Mc, w, n = sd.Lr, sd.Lc, sd.Mr, sd.Mc, sd.w, sd.n
+    L, M, K = params.L, params.M, params.K
+    assert Lc % n_sec == 0, f"sec axis {n_sec} must divide Lc={Lc}"
+    Lc_loc = Lc // n_sec
+    E_loc = Lc_loc * sd.blocks_per_col
+    sec_per_col = L // Lc
+    bits_per_col_block = (L // Lc) * params.sec_size
+    t_max, rtol = decode.t_max, decode.rtol
+    atol = 2 * float(np.finfo(np.float32).resolution)
+    Wj = jnp.asarray(sd.W, jnp.float32)           # (Lr, Lc) replicated
+
+    def block_fwd(vals, order_in, order_out, scale):
+        """(E_loc, m_in) -> (E_loc, m_out): scatter -> FWHT -> gather."""
+        X = jnp.zeros((vals.shape[0], w), vals.dtype)
+        X = X.at[jnp.arange(vals.shape[0])[:, None], order_in].set(vals)
+        Y = fwht(X)
+        return jnp.take_along_axis(Y, order_out, axis=1) * scale[:, None]
+
+    def trial(key, order0, order1, scale, rows_l, cols_l, W_loc, dev_col0):
+        """One trial with local column blocks. cols_l are local (0-based).
+
+        W_loc: (Lr, Lc_loc) local slice of the base matrix.
+        """
+        kb = rngmod.derive(key, rngmod.BITS)
+        kc = rngmod.derive(key, rngmod.CHANNEL)
+
+        def ab(beta_loc):
+            xb = beta_loc.reshape(Lc_loc, Mc)
+            parts = block_fwd(xb[cols_l], order1, order0, scale)  # (E_loc, Mr)
+            out = jax.ops.segment_sum(parts, rows_l, num_segments=Lr)
+            return jax.lax.psum(out.reshape(n), "sec")
+
+        def az(z):
+            zb = z.reshape(Lr, Mr)
+            parts = block_fwd(zb[rows_l], order0, order1, scale)  # (E_loc, Mc)
+            return jax.ops.segment_sum(parts, cols_l,
+                                       num_segments=Lc_loc).reshape(Lc_loc * Mc)
+
+        # --- encode: local message bits -> local beta -> replicated x ---
+        # derive per-column-block bit keys so randomness is independent of
+        # the sharding layout
+        kb_cols = jax.vmap(lambda c: jax.random.fold_in(kb, c))(
+            dev_col0 + jnp.arange(Lc_loc))
+        bits_loc = jax.vmap(lambda k: bitops.random_bits(
+            k, bits_per_col_block))(kb_cols)                      # (Lc_loc, bits)
+        beta0 = jax.vmap(lambda b: bitops.bits_to_msg_vector(b, M, K))(
+            bits_loc).reshape(Lc_loc * Mc)
+        x = ab(beta0)
+        noise = jnp.sqrt(awgn_var) * jax.random.normal(kc, (n,))
+        y = x + noise
+
+        # --- AMP with sharded sections ---
+        def rep_r(v):
+            return jnp.broadcast_to(v[:, None], (Lr, Mr)).reshape(n)
+
+        def rep_c(v):
+            return jnp.broadcast_to(v[:, None],
+                                    (Lc_loc, Mc)).reshape(Lc_loc * Mc)
+
+        def body(carry, t):
+            beta, z, s_prev, phi_prev, psi_loc, stopped, t_final = carry
+            first = t == 0
+            gamma = jax.lax.psum(W_loc @ psi_loc, "sec") / Lc     # (Lr,)
+            b_coef = jnp.where(first, 0.0, gamma / phi_prev)
+            z_new = jnp.where(first, y, y - ab(beta) + rep_r(b_coef) * z)
+            if decode.phi_est_method == 1:
+                phi = awgn_var + gamma
+            else:
+                phi = jnp.mean(z_new.reshape(Lr, Mr) ** 2, axis=1)
+            tau_loc = (L / Mr) / (W_loc.T @ (1.0 / phi))          # (Lc_loc,)
+            s = beta + rep_c(tau_loc) * az(z_new / rep_r(phi))
+            beta_new = mmse_denoise(s, rep_c(1.0 / tau_loc), M, K)
+            psi_new = 1.0 - jnp.sum(
+                jnp.abs(beta_new).reshape(Lc_loc, Mc) ** 2, axis=1) / sec_per_col
+            dev_local = jnp.max(jnp.abs(psi_new - psi_loc) -
+                                (atol + rtol * jnp.abs(psi_loc)))
+            converged = jnp.logical_and(
+                t > 0, jax.lax.pmax(dev_local, "sec") <= 0)
+            keep = lambda old, new: jnp.where(stopped, old, new)
+            return (keep(beta, beta_new), keep(z, z_new), keep(s_prev, s),
+                    keep(phi_prev, phi), keep(psi_loc, psi_new),
+                    stopped | converged,
+                    jnp.where(stopped, t_final, t + 1)), None
+
+        init = (jnp.zeros(Lc_loc * Mc), jnp.zeros(n),
+                jnp.zeros(Lc_loc * Mc), jnp.ones(Lr, jnp.float32),
+                jnp.ones(Lc_loc, jnp.float32), jnp.asarray(False),
+                jnp.asarray(0))
+        (beta, _, s, _, _, _, t_final), _ = jax.lax.scan(
+            body, init, jnp.arange(t_max - 1))
+        beta_map = map_estimate(s, M, K)
+        bits_out = jax.vmap(lambda b: bitops.msg_vector_to_bits(b, M, K))(
+            beta_map.reshape(Lc_loc, Mc))
+        bit_errs = jnp.sum(bits_loc.astype(jnp.int32) !=
+                           bits_out.astype(jnp.int32))
+        sec_errs = jnp.sum(jnp.any(
+            (beta_map != beta0).reshape(Lc_loc * sec_per_col, M), axis=1))
+        return bit_errs, sec_errs, t_final
+
+    # Reductions: bit/section error counts are local to each sec shard
+    # (shards own disjoint sections) -> global count is a psum over 'sec'.
+    # A frame error is "any bit error on any shard" -> psum the per-trial
+    # bit counts over 'sec' first. t_final is replicated across 'sec', so
+    # its psum is divided back by n_sec.
+    def shard_fn(keys, order0, order1, scale, rows_g, cols_g):
+        sec_idx = jax.lax.axis_index("sec")
+        dev_col0 = sec_idx * Lc_loc
+        cols_l = cols_g - dev_col0
+        W_loc = jax.lax.dynamic_slice_in_dim(Wj, dev_col0, Lc_loc, axis=1)
+        be, se, it = jax.vmap(
+            lambda k: trial(k, order0, order1, scale, rows_g, cols_l,
+                            W_loc, dev_col0))(keys)
+        be_g = jax.lax.psum(jnp.sum(be), "sec")        # disjoint sections
+        se_g = jax.lax.psum(jnp.sum(se), "sec")
+        fe_g = jax.lax.psum(jnp.sum((jax.lax.psum(be, "sec") > 0)
+                                    .astype(jnp.int32)), "sec") // n_sec
+        it_g = jax.lax.psum(jnp.sum(it), "sec") // n_sec
+        out = jnp.stack([be_g, se_g, fe_g, it_g])
+        return jax.lax.psum(out, "dp")[None]
+
+    step = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, check_vma=False,
+        in_specs=(P("dp"), P("sec", None), P("sec", None), P("sec"),
+                  P("sec"), P("sec")),
+        out_specs=P("dp")))
+
+    def run(keys):
+        out = np.asarray(step(keys, sd.order0, sd.order1, sd.scale,
+                              sd.rows, sd.cols))[0]
+        return {"bit_errs": int(out[0]), "sec_errs": int(out[1]),
+                "frame_errs": int(out[2]), "iter_sum": int(out[3])}
+
+    return run, n_dp

@@ -19,13 +19,22 @@ CHANNEL = 0xC4
 TRIAL = 0x7A
 
 
-def root_key(seed) -> jax.Array:
+def _flatten(seed):
     if isinstance(seed, (tuple, list)):
-        key = jax.random.key(int(seed[0]))
-        for s in seed[1:]:
-            key = jax.random.fold_in(key, int(s))
-        return key
-    return jax.random.key(int(seed))
+        out = []
+        for s in seed:
+            out.extend(_flatten(s))
+        return out
+    return [int(seed)]
+
+
+def root_key(seed) -> jax.Array:
+    """Derive a root key from an int or an arbitrarily nested tuple of ints."""
+    parts = _flatten(seed)
+    key = jax.random.key(parts[0])
+    for s in parts[1:]:
+        key = jax.random.fold_in(key, s)
+    return key
 
 
 def derive(key: jax.Array, *tags: int) -> jax.Array:
