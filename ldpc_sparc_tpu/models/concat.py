@@ -325,6 +325,59 @@ class ConcatCodec:
                 hard_bits = self.ldpc_bp(vk0, bf, hard=True)
         return hard_bits
 
+    # ------------------------------------------------------------------
+    # instrumentation (the reference's *_test decoder family)
+    # ------------------------------------------------------------------
+    def decode_instrumented(self, y, design, decode_params,
+                            decoder: str = "naive", bp_inner_iters: int = 6):
+        """Per-iteration user-bit BER probes.
+
+        One implementation replaces the reference's ~8 hand-copied
+        instrumented variants (naively_integrated_test_2/3/4,
+        integrated_decoder_test/_2, sparc_new.py:314-409,573-641): at every
+        AMP iteration, record hard user-bit decisions (a) after the MMSE
+        step ('pre_bp') and (b) after the inner BP pass ('post_bp').
+
+        Returns dict with 'pre_bp' and 'post_bp' arrays of shape
+        (t_max, user_bits) of decided bits.
+        """
+        assert decoder in ("naive", "no_onsager", "integrated")
+        M = self.sparc.M
+        dp = decode_params
+        beta = jnp.zeros(self.sparc.L * M, jnp.float32)
+        z = jnp.zeros_like(y)
+        tau_sqr = jnp.asarray(1.0, jnp.float32)
+        deta_sum = jnp.asarray(0.0, jnp.float32)
+        pre, post = [], []
+        for t in range(dp.t_max):
+            if decoder == "integrated":
+                z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
+                                               onsager="deta",
+                                               deta_sum=deta_sum)
+            else:
+                ons = "none" if decoder == "no_onsager" else "standard"
+                z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
+                                               onsager=ons)
+            weighted_alpha = self._mmse(s, tau_sqr)
+            alpha = weighted_alpha / self.c_amp
+            vk0 = section_probs_to_bit_probs(alpha, M)
+            pre.append(self._hard_user_bits(vk0))
+            vk = self.ldpc_bp(vk0, bp_inner_iters, hard=False)
+            post.append(self._hard_user_bits(vk))
+            gamma = bit_probs_to_section_probs(vk, M)
+            beta = self.c_amp * gamma
+            if decoder == "integrated":
+                deta = self.c_amp * integrated_onsager_derivative(
+                    alpha, vk, vk0, gamma, tau_sqr, M, self.c_amp)
+                deta_sum = jnp.sum(deta)
+        return {"pre_bp": jnp.stack(pre), "post_bp": jnp.stack(post)}
+
+    def _hard_user_bits(self, bit_probs):
+        """P(bit=0) probabilities -> hard user-bit decisions (first K of
+        each LDPC block; ldpc_probs_to_user_bits, sparc_new.py:1234-1246)."""
+        blocks = bit_probs.reshape(-1, self.code.N)
+        return (blocks[:, :self.code.K] < 0.5).astype(jnp.int32).reshape(-1)
+
     def _deta_posteriors(self, alpha, gamma, vk, vk0, tau_sqr, M):
         """Quotient-rule derivative for the posterior-combining eta
         (differentiated_eta_calc_posteriors, sparc_new.py:843-869)."""

@@ -1,4 +1,4 @@
-"""Seeded subsampled-Hadamard SPARC design operator.
+"""Seeded Hadamard SPARC design operator (SRHT form).
 
 This is the single design-matrix engine behind every codec in the framework,
 replacing BOTH of the reference's engines:
@@ -8,27 +8,43 @@ replacing BOTH of the reference's engines:
   * the dense n x LM Gaussian matrix of sparc_sophie
     (`create_design_matrix`, sparc_sophie/sparc_new.py:1284-1294)
 
-The operator implements A (n x L*M) in blockwise form: the base matrix W
-(always unified to 2-D, (Lr, Lc)) partitions A into Lr*Lc blocks of shape
-(Mr, Mc); each nonzero block (r, c) is sqrt(W[r,c]/L) * H_w[order0, order1]
-for a shared Sylvester-Hadamard H_w and per-block random row/column index
-sets drawn from [1, w) (the all-ones row/column 0 is excluded, mirroring
-`generate_ordering`, sparc_public/sparc.py:735-775).
+Ensemble. Each nonzero base-matrix block (r, c) of the (Lr x Lc) blocked
+design is a sqrt(W[r,c]/L)-scaled subsampled randomized Hadamard transform
+(SRHT): one side of the Mr x Mc block indexes a *random subset* of H_w
+rows/columns, the other side a *contiguous window* [1, dim+1) with a random
++-1 sign diagonal. This is the same subsampled-Hadamard family the reference
+documents (sparc_public/sparc.py:703-728), with one side's randomness
+carried by the sign diagonal instead of a second random subset.
 
-All three Hadamard / DCT / Gaussian ensembles are statistically
-interchangeable for AMP at these block lengths; BER parity with the
-reference is asserted distributionally, not bit-exactly (SURVEY.md section 7).
+Two structural rules make this both sound and fast:
 
-TPU mapping: forward/adjoint products are scatter -> batched FWHT (MXU
-matmuls, see ops/wht.py) -> gather -> segment-sum, all static-shaped and
-fused by XLA. The nonzero-block list is flattened at build time so the
-spatially-coupled band structure costs exactly its nonzero blocks.
+  * The random index set goes on the SMALLER of (Mr, Mc) and the contiguous
+    window on the LARGER. Soundness: a Hadamard row's pattern over columns
+    [1, C+1) is determined by its index mod 2^ceil(log2(C+1)); with
+    C = max(Mr, Mc) and w = next_pow2(C+1) that modulus is w itself, so all
+    index candidates in [1, w) produce distinct, pseudo-random patterns.
+    (With the window on the smaller side, patterns repeat every 2^k << w and
+    tall blocks would get duplicated rows — catastrophic for AMP.)
+  * Speed: the device scatter/gather only ever touches min(Mr, Mc) elements
+    (sorted + unique), while the large side is a free zero-pad / contiguous
+    slice that XLA fuses into the FWHT matmuls. The reference-style random
+    subset on BOTH sides needs a 2^19-element random scatter per product,
+    which measured ~50 ms on TPU and dominated the AMP iteration.
+
+Column/row 0 (all-ones) is excluded everywhere. The Hadamard / DCT /
+Gaussian ensembles are statistically interchangeable for AMP at these block
+lengths; parity is asserted on BER curves and SE agreement (SURVEY.md
+section 7).
+
+TPU mapping: the FWHT is a Kronecker chain of <=1024-wide dense matmuls on
+the MXU (ops/wht.py); per-block products batch over the nonzero-block list,
+so the spatially-coupled band structure costs exactly its nonzero blocks.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -42,50 +58,91 @@ def _next_pow2_at_least(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
-def generate_orderings(W: np.ndarray, Mr: int, Mc: int, w: int,
-                       seed) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Draw per-nonzero-block random row/column index sets from [1, w).
+def generate_block_randomness(W: np.ndarray, Mr: int, Mc: int, w: int,
+                              seed) -> Tuple[np.ndarray, np.ndarray,
+                                             np.ndarray, np.ndarray]:
+    """Per-nonzero-block randomness for the SRHT blocks.
 
-    Matches the traversal semantics of `generate_ordering`
-    (sparc_public/sparc.py:735-775): blocks are visited row-major and each
-    nonzero block consumes two shuffles from one seeded stream, so different
-    blocks get independent orderings.
+    Blocks are visited row-major (the traversal order of `generate_ordering`,
+    sparc_public/sparc.py:735-775) with one seeded stream, so blocks get
+    independent draws. Index sets are sorted ascending (the ensemble
+    randomness is in *which* indices are selected — Hadamard rows are
+    exchangeable — and sorted indices make the device gather/scatter a
+    monotone stream).
 
-    Returns (rows, cols, order0, order1):
+    Returns (rows, cols, idx, signs):
       rows, cols : (E,) block coordinates of the E nonzero blocks
-      order0     : (E, Mr) row indices into H_w
-      order1     : (E, Mc) column indices into H_w
+      idx        : (E, min(Mr, Mc)) sorted H_w indices for the small side
+      signs      : (E, max(Mr, Mc)) +-1 diagonal for the large (window) side
     """
     rng = np.random.default_rng(seed)
     Lr, Lc = W.shape
-    rows, cols, o0, o1 = [], [], [], []
-    base = np.arange(1, w, dtype=np.int32)
+    small, large = min(Mr, Mc), max(Mr, Mc)
+    # Index candidates are restricted to [1, Q): two indices must differ in a
+    # bit that is DENSELY covered by the window [1, large+1), otherwise their
+    # Hadamard patterns over the window are near-identical (e.g. indices
+    # differing only in bit log2(large) share all but one window column —
+    # observed to break AMP). Bits 0..floor(log2(large))-1 each cover
+    # ~half the window, so Q = 2^floor(log2(large)) is safe; escalate only
+    # if the block needs more than Q-1 indices (square-ish blocks), which
+    # trades in a small fraction of weakly-covered index pairs.
+    Q = 1 << int(np.floor(np.log2(large)))
+    while Q <= small:
+        Q *= 2
+    Q = min(Q, w)
+    rows, cols, idxs, sgns = [], [], [], []
+    base = np.arange(1, Q, dtype=np.int32)
     for r in range(Lr):
         for c in range(Lc):
             if W[r, c] != 0:
                 rows.append(r)
                 cols.append(c)
-                o0.append(rng.permutation(base)[:Mr])
-                o1.append(rng.permutation(base)[:Mc])
+                idxs.append(np.sort(rng.choice(base, small, replace=False)))
+                sgns.append(rng.integers(0, 2, large).astype(np.float32) * 2 - 1)
     return (np.array(rows, dtype=np.int32), np.array(cols, dtype=np.int32),
-            np.stack(o0), np.stack(o1))
+            np.stack(idxs), np.stack(sgns))
+
+
+def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
+               w: int, in_dim: int, out_dim: int,
+               idx_side_is_input: bool) -> jnp.ndarray:
+    """Batched per-block SRHT product, (E, in_dim) -> (E, out_dim).
+
+    idx_side_is_input: whether the random index set addresses the input
+    dimension (scatter in) or the output dimension (gather out). The other
+    side is the signed contiguous window [1, dim+1).
+    """
+    E = vals.shape[0]
+    if idx_side_is_input:
+        X = jnp.zeros((E, w), dtype=vals.dtype)
+        X = X.at[jnp.arange(E)[:, None], idx].set(
+            vals, indices_are_sorted=True, unique_indices=True)
+        Y = fwht(X)
+        return Y[:, 1:out_dim + 1] * signs.astype(vals.dtype)
+    else:
+        signed = vals * signs.astype(vals.dtype)
+        X = jnp.pad(signed, ((0, 0), (1, w - 1 - in_dim)))
+        Y = fwht(X)
+        return Y.at[jnp.arange(E)[:, None], idx].get(
+            indices_are_sorted=True, unique_indices=True)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SparcDesign:
-    """Blockwise subsampled-Hadamard design operator.
+    """Blockwise SRHT design operator.
 
     Array leaves (jit/vmap-traceable):
-      order0 : (E, Mr) int32   per-block Hadamard row indices
-      order1 : (E, Mc) int32   per-block Hadamard column indices
-      scale  : (E,)    float32 per-block sqrt(W[r,c]/L)
+      idx   : (E, min(Mr, Mc)) int32  per-block H_w indices, sorted
+      signs : (E, max(Mr, Mc)) float32 per-block +-1 window signs
+      scale : (E,) float32 per-block sqrt(W[r,c]/L)
     Static metadata:
       rows/cols : nonzero-block coordinates; shapes Lr, Lc, Mr, Mc, w, n, LM.
+      tall      : Mr > Mc (index set on columns) or not (index set on rows).
     """
 
-    order0: jnp.ndarray
-    order1: jnp.ndarray
+    idx: jnp.ndarray
+    signs: jnp.ndarray
     scale: jnp.ndarray
     rows: tuple
     cols: tuple
@@ -99,7 +156,7 @@ class SparcDesign:
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return ((self.order0, self.order1, self.scale),
+        return ((self.idx, self.signs, self.scale),
                 (self.rows, self.cols, self.Lr, self.Lc, self.Mr, self.Mc,
                  self.w, self.n, self.LM))
 
@@ -107,14 +164,18 @@ class SparcDesign:
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
 
+    @property
+    def tall(self) -> bool:
+        return self.Mr > self.Mc
+
     # -- construction -------------------------------------------------------
     @classmethod
     def build(cls, W: np.ndarray, L: int, M: int, n: int, seed) -> "SparcDesign":
         """Build the operator for base matrix W (2-D (Lr, Lc)).
 
         Shapes follow sparc_public/sparc.py:777-837: Mr = n/Lr rows and
-        Mc = L*M/Lc columns per block, transform size w = next power of two
-        with room to skip index 0.
+        Mc = L*M/Lc columns per block; transform size w = next power of two
+        with room to skip the all-ones row/column 0.
         """
         W = np.atleast_2d(np.asarray(W, dtype=np.float64))
         Lr, Lc = W.shape
@@ -122,9 +183,9 @@ class SparcDesign:
         assert (L * M) % Lc == 0, "Lc must divide L*M"
         Mr, Mc = n // Lr, (L * M) // Lc
         w = _next_pow2_at_least(max(Mr + 1, Mc + 1))
-        rows, cols, o0, o1 = generate_orderings(W, Mr, Mc, w, seed)
+        rows, cols, idx, sgns = generate_block_randomness(W, Mr, Mc, w, seed)
         scale = np.sqrt(W[rows, cols] / L).astype(np.float32)
-        return cls(jnp.asarray(o0), jnp.asarray(o1), jnp.asarray(scale),
+        return cls(jnp.asarray(idx), jnp.asarray(sgns), jnp.asarray(scale),
                    tuple(int(r) for r in rows), tuple(int(c) for c in cols),
                    Lr, Lc, Mr, Mc, w, n, L * M)
 
@@ -138,44 +199,40 @@ class SparcDesign:
     def E(self) -> int:
         return len(self.rows)
 
-    def _block_transform(self, vals: jnp.ndarray, order_in: jnp.ndarray,
-                         order_out: jnp.ndarray) -> jnp.ndarray:
-        """Core per-block product: scatter vals into w-space at order_in,
-        FWHT, gather at order_out, scale. vals: (E, m_in) -> (E, m_out)."""
-        E = self.E
-        X = jnp.zeros((E, self.w), dtype=vals.dtype)
-        X = X.at[jnp.arange(E)[:, None], order_in].set(vals)
-        Y = fwht(X)
-        out = jnp.take_along_axis(Y, order_out, axis=1)
+    def _fwd_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """(E, Mc) column-block values -> (E, Mr) row-block contributions."""
+        out = srht_apply(vals, self.idx, self.signs, self.w, self.Mc,
+                         self.Mr, idx_side_is_input=self.tall)
+        return out * self.scale[:, None].astype(out.dtype)
+
+    def _adj_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """(E, Mr) row-block values -> (E, Mc) column-block contributions
+        (H symmetric: the adjoint swaps which side is scatter/gather)."""
+        out = srht_apply(vals, self.idx, self.signs, self.w, self.Mr,
+                         self.Mc, idx_side_is_input=not self.tall)
         return out * self.scale[:, None].astype(out.dtype)
 
     def ab(self, beta: jnp.ndarray) -> jnp.ndarray:
         """A @ beta. beta: (..., L*M) -> (..., n).
 
-        Blockwise: out_row_block[r] = sum_c sqrt(W[r,c]/L) *
-        H[order0_rc][:, order1_rc] @ beta_col_block[c]
+        Blockwise: out_row_block[r] = sum_c A_rc @ beta_col_block[c]
         (forward product of sparc_public/sparc.py:851-862).
         """
         if beta.ndim > 1:
             return jax.vmap(self.ab)(beta)
         xb = beta.reshape(self.Lc, self.Mc)
-        vals = xb[jnp.asarray(self.cols)]  # (E, Mc)
-        parts = self._block_transform(vals, self.order1, self.order0)  # (E, Mr)
+        parts = self._fwd_blocks(xb[jnp.asarray(self.cols)])      # (E, Mr)
         out = jax.ops.segment_sum(parts, jnp.asarray(self.rows),
                                   num_segments=self.Lr)
         return out.reshape(self.n)
 
     def az(self, z: jnp.ndarray) -> jnp.ndarray:
-        """A.T @ z. z: (..., n) -> (..., L*M).
-
-        H is symmetric so the adjoint is the same kernel with row/column
-        orders swapped (adjoint product of sparc_public/sparc.py:864-875).
-        """
+        """A.T @ z. z: (..., n) -> (..., L*M)
+        (adjoint product of sparc_public/sparc.py:864-875)."""
         if z.ndim > 1:
             return jax.vmap(self.az)(z)
         zb = z.reshape(self.Lr, self.Mr)
-        vals = zb[jnp.asarray(self.rows)]  # (E, Mr)
-        parts = self._block_transform(vals, self.order0, self.order1)  # (E, Mc)
+        parts = self._adj_blocks(zb[jnp.asarray(self.rows)])      # (E, Mc)
         out = jax.ops.segment_sum(parts, jnp.asarray(self.cols),
                                   num_segments=self.Lc)
         return out.reshape(self.LM)
@@ -191,11 +248,11 @@ def build_batched_designs(W: np.ndarray, L: int, M: int, n: int, seed,
                           batch: int) -> SparcDesign:
     """A batch of independent designs (fresh A per Monte-Carlo trial, as the
     reference draws a new seeded transform per trial). The returned design's
-    order0/order1 carry a leading batch axis; use with `jax.vmap` over the
+    idx/signs carry a leading batch axis; use with `jax.vmap` over the
     array leaves."""
     designs = [SparcDesign.build(W, L, M, n, (seed, b)) for b in range(batch)]
     d0 = designs[0]
-    order0 = jnp.stack([d.order0 for d in designs])
-    order1 = jnp.stack([d.order1 for d in designs])
-    return SparcDesign(order0, order1, d0.scale, d0.rows, d0.cols,
+    return SparcDesign(jnp.stack([d.idx for d in designs]),
+                       jnp.stack([d.signs for d in designs]),
+                       d0.scale, d0.rows, d0.cols,
                        d0.Lr, d0.Lc, d0.Mr, d0.Mc, d0.w, d0.n, d0.LM)

@@ -47,8 +47,8 @@ def _stack_designs(params: SparcParams, awgn_var: float, seed,
                for d in range(count)]
     d0 = designs[0]
     return SparcDesign(
-        jnp.stack([d.order0 for d in designs]),
-        jnp.stack([d.order1 for d in designs]),
+        jnp.stack([d.idx for d in designs]),
+        jnp.stack([d.signs for d in designs]),
         d0.scale, d0.rows, d0.cols, d0.Lr, d0.Lc, d0.Mr, d0.Mc,
         d0.w, d0.n, d0.LM)
 
@@ -88,8 +88,8 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
             (res.beta != beta0).reshape(L, M), axis=1))
         return bit_errs, sec_errs, res.t_final
 
-    def shard_fn(keys_local, order0, order1):
-        d = SparcDesign(order0[0], order1[0], designs.scale, designs.rows,
+    def shard_fn(keys_local, idx, signs):
+        d = SparcDesign(idx[0], signs[0], designs.scale, designs.rows,
                         designs.cols, designs.Lr, designs.Lc, designs.Mr,
                         designs.Mc, designs.w, designs.n, designs.LM)
         be, se, it = jax.vmap(lambda k: one_trial(k, d))(keys_local)
@@ -101,7 +101,7 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         shard_fn, mesh=mesh, check_vma=False,
         in_specs=(P("dp"), P("dp", None, None), P("dp", None, None)),
         out_specs=P("dp")))
-    out = np.asarray(fn(keys, designs.order0, designs.order1))[0]
+    out = np.asarray(fn(keys, designs.idx, designs.signs))[0]
     return {
         "bit_errs": int(out[0]), "bits": n_trials * params.bit_len,
         "sec_errs": int(out[1]), "sections": n_trials * L,

@@ -34,7 +34,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import SparcParams, DecodeParams, create_base_matrix
 from ..ops.wht import fwht
-from ..ops.transforms import SparcDesign, generate_orderings
+from ..ops.transforms import SparcDesign, generate_block_randomness
 from ..ops.denoiser import mmse_denoise, map_estimate
 from ..utils import bits as bitops
 from ..utils import rng as rngmod
@@ -49,9 +49,12 @@ class ShardedDesign:
         L, M = params.L, params.M
         n = params.codeword_length()
         Mr, Mc = n // Lr, (L * M) // Lc
-        # reuse the row-major ordering generator, then sort blocks column-major
+        # reuse the row-major randomness generator, then sort blocks
+        # column-major so the 'sec' shards own contiguous column groups
         w = 1 << (max(Mr + 1, Mc + 1) - 1).bit_length()
-        rows, cols, o0, o1 = generate_orderings(W, Mr, Mc, w, seed)
+        assert Mr <= Mc, ("section-sharded designs assume wide blocks "
+                          "(Mr <= Mc); SC/plain configs satisfy this")
+        rows, cols, ridx, sgns = generate_block_randomness(W, Mr, Mc, w, seed)
         order = np.lexsort((rows, cols))  # column-major
         rows, cols = rows[order], cols[order]
         per_col = np.bincount(cols, minlength=Lc)
@@ -63,8 +66,8 @@ class ShardedDesign:
         self.Lr, self.Lc, self.Mr, self.Mc, self.w, self.n = Lr, Lc, Mr, Mc, w, n
         self.rows = jnp.asarray(rows.astype(np.int32))
         self.cols = jnp.asarray(cols.astype(np.int32))
-        self.order0 = jnp.asarray(o0[order])
-        self.order1 = jnp.asarray(o1[order])
+        self.idx = jnp.asarray(ridx[order])
+        self.signs = jnp.asarray(sgns[order])
         self.scale = jnp.asarray(np.sqrt(W[rows, cols] / L).astype(np.float32))
 
 
@@ -91,14 +94,25 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
     atol = 2 * float(np.finfo(np.float32).resolution)
     Wj = jnp.asarray(sd.W, jnp.float32)           # (Lr, Lc) replicated
 
-    def block_fwd(vals, order_in, order_out, scale):
-        """(E_loc, m_in) -> (E_loc, m_out): scatter -> FWHT -> gather."""
-        X = jnp.zeros((vals.shape[0], w), vals.dtype)
-        X = X.at[jnp.arange(vals.shape[0])[:, None], order_in].set(vals)
+    def fwd_blocks(vals, row_idx, signs, scale):
+        """(E_loc, Mc) -> (E_loc, Mr): SRHT forward (sign, pad, FWHT,
+        row gather) — see ops/transforms.py."""
+        X = jnp.pad(vals * signs, ((0, 0), (1, w - 1 - Mc)))
         Y = fwht(X)
-        return jnp.take_along_axis(Y, order_out, axis=1) * scale[:, None]
+        out = Y.at[jnp.arange(vals.shape[0])[:, None], row_idx].get(
+            indices_are_sorted=True, unique_indices=True)
+        return out * scale[:, None]
 
-    def trial(key, order0, order1, scale, rows_l, cols_l, W_loc, dev_col0):
+    def adj_blocks(vals, row_idx, signs, scale):
+        """(E_loc, Mr) -> (E_loc, Mc): SRHT adjoint (row scatter, FWHT,
+        contiguous slice, sign)."""
+        X = jnp.zeros((vals.shape[0], w), vals.dtype)
+        X = X.at[jnp.arange(vals.shape[0])[:, None], row_idx].set(
+            vals, indices_are_sorted=True, unique_indices=True)
+        Y = fwht(X)
+        return Y[:, 1:Mc + 1] * signs * scale[:, None]
+
+    def trial(key, row_idx, signs, scale, rows_l, cols_l, W_loc, dev_col0):
         """One trial with local column blocks. cols_l are local (0-based).
 
         W_loc: (Lr, Lc_loc) local slice of the base matrix.
@@ -108,13 +122,13 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
 
         def ab(beta_loc):
             xb = beta_loc.reshape(Lc_loc, Mc)
-            parts = block_fwd(xb[cols_l], order1, order0, scale)  # (E_loc, Mr)
+            parts = fwd_blocks(xb[cols_l], row_idx, signs, scale)  # (E_loc, Mr)
             out = jax.ops.segment_sum(parts, rows_l, num_segments=Lr)
             return jax.lax.psum(out.reshape(n), "sec")
 
         def az(z):
             zb = z.reshape(Lr, Mr)
-            parts = block_fwd(zb[rows_l], order0, order1, scale)  # (E_loc, Mc)
+            parts = adj_blocks(zb[rows_l], row_idx, signs, scale)  # (E_loc, Mc)
             return jax.ops.segment_sum(parts, cols_l,
                                        num_segments=Lc_loc).reshape(Lc_loc * Mc)
 
@@ -184,13 +198,13 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
     # A frame error is "any bit error on any shard" -> psum the per-trial
     # bit counts over 'sec' first. t_final is replicated across 'sec', so
     # its psum is divided back by n_sec.
-    def shard_fn(keys, order0, order1, scale, rows_g, cols_g):
+    def shard_fn(keys, row_idx, signs, scale, rows_g, cols_g):
         sec_idx = jax.lax.axis_index("sec")
         dev_col0 = sec_idx * Lc_loc
         cols_l = cols_g - dev_col0
         W_loc = jax.lax.dynamic_slice_in_dim(Wj, dev_col0, Lc_loc, axis=1)
         be, se, it = jax.vmap(
-            lambda k: trial(k, order0, order1, scale, rows_g, cols_l,
+            lambda k: trial(k, row_idx, signs, scale, rows_g, cols_l,
                             W_loc, dev_col0))(keys)
         be_g = jax.lax.psum(jnp.sum(be), "sec")        # disjoint sections
         se_g = jax.lax.psum(jnp.sum(se), "sec")
@@ -207,7 +221,7 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
         out_specs=P("dp")))
 
     def run(keys):
-        out = np.asarray(step(keys, sd.order0, sd.order1, sd.scale,
+        out = np.asarray(step(keys, sd.idx, sd.signs, sd.scale,
                               sd.rows, sd.cols))[0]
         return {"bit_errs": int(out[0]), "sec_errs": int(out[1]),
                 "frame_errs": int(out[2]), "iter_sum": int(out[3])}
