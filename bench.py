@@ -27,7 +27,17 @@ BASELINE_ITERS_PER_S = 3.64  # reference CPU, scaled (see module docstring)
 
 
 def main():
+    import os
     import jax
+    # persistent compilation cache: repeat bench runs skip the slow
+    # first-time XLA compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from ldpc_sparc_tpu.config import SparcParams, DecodeParams
     from ldpc_sparc_tpu.ops.transforms import SparcDesign
@@ -73,6 +83,30 @@ def main():
     iters_per_s = iters / dt
     info_bits_per_s = batch * reps * params.bit_len / dt
 
+    # secondary metric: LDPC BP decode (reference: 138 ms/block avg,
+    # 802.11n r=1/2 z=27 sumprod2 near the waterfall,
+    # ldpc_jossy/data/1809301420_profile.txt)
+    from ldpc_sparc_tpu.models.ldpc import get_code
+    code = get_code("802.11n", "1/2", 27)
+    bp_batch = 256
+    kb = jax.random.split(jax.random.fold_in(key, 99), bp_batch)
+    us = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (code.K,))
+                  .astype(jnp.int32))(kb)
+    xs = code.encode(us)
+    sigma2 = 1.0 / 10 ** (2.0 / 10)
+    ys = (1.0 - 2.0 * xs) + jnp.sqrt(sigma2) * jax.vmap(
+        lambda k: jax.random.normal(k, (code.N,)))(kb)
+    llr = (2.0 / sigma2 * ys).astype(jnp.float32)
+    res_bp = code.decode(llr, 50, "sumprod2")
+    jax.block_until_ready(res_bp.app)
+    t0 = time.perf_counter()
+    bp_reps = 5
+    for _ in range(bp_reps):
+        res_bp = code.decode(llr, 50, "sumprod2")
+    jax.block_until_ready(res_bp.app)
+    bp_dt = (time.perf_counter() - t0) / bp_reps
+    bp_errs = int(jnp.sum((res_bp.app < 0).astype(jnp.int32) != xs))
+
     result = {
         "metric": "sparc_amp_iterations_per_s",
         "value": round(iters_per_s, 2),
@@ -84,6 +118,9 @@ def main():
             "batch": batch,
             "t_max": decode.t_max,
             "platform": jax.devices()[0].platform,
+            "ldpc_bp_ms_per_block": round(bp_dt / bp_batch * 1e3, 4),
+            "ldpc_bp_vs_baseline": round(138.0 / (bp_dt / bp_batch * 1e3), 1),
+            "ldpc_bp_bit_errs": bp_errs,
         },
     }
     print(json.dumps(result))

@@ -151,65 +151,78 @@ class BpResult(NamedTuple):
     iterations: jnp.ndarray  # (...,)   iterations until parity satisfied
 
 
-def _decode_single(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
-                   correction: bool, corr_factor: float) -> BpResult:
+def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
+                  correction: bool, corr_factor: float) -> BpResult:
+    """Batched BP with the codeword batch on the LAST (lane) axis.
+
+    ch: (B, Nv). Internally everything is (..., z, B): the batch rides the
+    TPU's 128-wide vector lanes while z sits on sublanes — all message
+    updates are elementwise over full vectors, and the z-axis permutations /
+    edge gathers move whole lanes. (A batch-first layout puts z=27..81 on
+    the lanes and pads 4-5x, which also exploded TPU compile times.)
+    """
     z, E, Mp, Np = g.z, g.E, g.Mp, g.Np
-    ch_blocks = ch.reshape(Np, z)
+    B = ch.shape[0]
+    dtype = ch.dtype
+    ch_blocks = jnp.moveaxis(ch.reshape(B, Np, z), 0, -1)   # (Np, z, B)
     edge_col = jnp.asarray(g.edge_col)
-    to_var = jnp.asarray(g.to_var)
-    to_chk = jnp.asarray(g.to_chk)
-    chk_edges = jnp.asarray(np.maximum(g.chk_edges, 0))
-    chk_mask = jnp.asarray(g.chk_edges >= 0)          # (Mp, dc_max)
+    to_var = jnp.asarray(g.to_var)[:, :, None]              # (E, z, 1)
+    to_chk = jnp.asarray(g.to_chk)[:, :, None]
+    chk_edges = jnp.asarray(g.chk_edges)                    # (Mp, dc_max)
+    chk_mask = jnp.asarray(g.chk_edges >= 0)
+    safe_edges = jnp.maximum(chk_edges, 0)
 
     def one_iter(carry, _):
         c2v_chk, app, it, done = carry
+        # done: (B,) frozen-codeword flags
 
         # ---- variable node rule ("sum", c_ldpc.c:54-68) ----
-        c2v_var = jnp.take_along_axis(c2v_chk, to_var, axis=1)      # (E, z)
+        c2v_var = jnp.take_along_axis(c2v_chk, to_var, axis=1)  # (E, z, B)
         tot = ch_blocks + jax.ops.segment_sum(c2v_var, edge_col,
-                                              num_segments=Np)      # (Np, z)
-        v2c_var = tot[edge_col] - c2v_var                            # (E, z)
+                                              num_segments=Np)  # (Np, z, B)
+        v2c_var = tot[edge_col] - c2v_var
         v2c_chk = jnp.take_along_axis(v2c_var, to_chk, axis=1)
-        app_new = tot.reshape(Np * z)
+        app_new = tot
 
         # ---- check node rule (Lxfb trellis, c_ldpc.c:183-197) ----
-        gathered = v2c_chk[chk_edges]                  # (Mp, dc_max, z)
-        gathered = jnp.where(chk_mask[..., None], gathered, _BIG)
+        gathered = v2c_chk[safe_edges]                 # (Mp, dc_max, z, B)
+        gathered = jnp.where(chk_mask[..., None, None], gathered, _BIG)
         ext, aggr = lxfb(jnp.moveaxis(gathered, 1, 0), correction)
-        ext = jnp.moveaxis(ext, 0, 1)                  # (Mp, dc_max, z)
+        ext = jnp.moveaxis(ext, 0, 1)                  # (Mp, dc_max, z, B)
         if not correction:
             ext = ext * corr_factor                    # min-sum heuristic
         # scatter extrinsic back to edge space (each edge appears exactly
-        # once across all check rows; padded slots are routed out of range
-        # and dropped)
-        c2v_new = jnp.zeros((E, z), ch.dtype).at[
+        # once across all check rows; padded slots routed out of range)
+        c2v_new = jnp.zeros((E, z, B), dtype).at[
             jnp.where(chk_mask, chk_edges, E).reshape(-1)
-        ].set(ext.reshape(Mp * g.dc_max, z), mode="drop")
+        ].set(ext.reshape(Mp * g.dc_max, z, B), mode="drop")
 
-        parity_ok = jnp.all(aggr > 0.0)                # all checks satisfied
+        parity_ok = jnp.all(aggr > 0.0, axis=(0, 1))   # (B,)
 
-        # freeze once done; iteration count = first t with parity satisfied
+        # freeze finished codewords; count = first t with parity satisfied
         keep = lambda old, new: jnp.where(done, old, new)
         return (keep(c2v_chk, c2v_new), keep(app, app_new),
                 jnp.where(done | parity_ok, it, it + 1),
                 done | parity_ok), None
 
-    init = (jnp.zeros((E, z), ch.dtype), jnp.zeros(Np * z, ch.dtype),
-            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    init = (jnp.zeros((E, z, B), dtype), jnp.zeros((Np, z, B), dtype),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
     (c2v, app, it, done), _ = jax.lax.scan(one_iter, init, None,
                                            length=max_iters)
-    return BpResult(app=app, iterations=it)
+    return BpResult(app=jnp.moveaxis(app, -1, 0).reshape(B, Np * z),
+                    iterations=it)
 
 
-@partial(jax.jit, static_argnames=("g", "max_iters", "correction"))
-def _decode_jit(ch, g, max_iters, correction, corr_factor):
-    return _decode_single(ch, g, max_iters, correction, corr_factor)
+# kept as the name used by single-codeword callers
+def _decode_single(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
+                   correction: bool, corr_factor) -> BpResult:
+    res = _decode_lanes(ch[None, :], g, max_iters, correction, corr_factor)
+    return BpResult(app=res.app[0], iterations=res.iterations[0])
 
 
 @partial(jax.jit, static_argnames=("g", "max_iters", "correction"))
 def _decode_batch_jit(ch, g, max_iters, correction, corr_factor):
-    return jax.vmap(
-        lambda c: _decode_single(c, g, max_iters, correction, corr_factor))(ch)
+    return _decode_lanes(ch, g, max_iters, correction, corr_factor)
 
 
 def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,
@@ -224,10 +237,10 @@ def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,
     assert method in ("sumprod", "sumprod2", "minsum")
     correction = method != "minsum"
     cf = jnp.asarray(corr_factor, ch.dtype)
-    if ch.ndim == 1:
-        return _decode_jit(ch, graph, max_iters, correction, cf)
     batch_shape = ch.shape[:-1]
     flat = ch.reshape(-1, ch.shape[-1])
     res = _decode_batch_jit(flat, graph, max_iters, correction, cf)
+    if ch.ndim == 1:
+        return BpResult(app=res.app[0], iterations=res.iterations[0])
     return BpResult(app=res.app.reshape(batch_shape + (ch.shape[-1],)),
                     iterations=res.iterations.reshape(batch_shape))

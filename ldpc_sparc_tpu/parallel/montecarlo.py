@@ -140,26 +140,32 @@ def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
     sigma2 = 1.0 / 10 ** (snr_db / 10.0)
     K, N = code.K, code.N
 
-    def one(key):
-        ku, kn = jax.random.split(key)
-        u = jax.random.bernoulli(ku, 0.5, (K,)).astype(jnp.int32)
-        x = code.encode(u)
-        xm = 1.0 - 2.0 * x  # BPSK (ldpc_awgn.py:55-57)
-        y = xm + jnp.sqrt(sigma2) * jax.random.normal(kn, (N,))
-        llr = 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
-        from ..ops.bp import _decode_single
-        res = _decode_single(llr.astype(jnp.float32), code.graph, max_iters,
-                             dectype != "minsum", jnp.float32(0.7))
+    def batch_counts(keys_b):
+        """Encode/transmit per codeword (vmap), decode the whole batch in
+        one lane-batched BP call (codewords ride the vector lanes)."""
+        from ..ops.bp import _decode_lanes
+
+        def tx(key):
+            ku, kn = jax.random.split(key)
+            u = jax.random.bernoulli(ku, 0.5, (K,)).astype(jnp.int32)
+            x = code.encode(u)
+            xm = 1.0 - 2.0 * x  # BPSK (ldpc_awgn.py:55-57)
+            y = xm + jnp.sqrt(sigma2) * jax.random.normal(kn, (N,))
+            return x, 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
+
+        xs, llrs = jax.vmap(tx)(keys_b)
+        res = _decode_lanes(llrs.astype(jnp.float32), code.graph, max_iters,
+                            dectype != "minsum", jnp.float32(0.7))
         xh = (res.app < 0).astype(jnp.int32)
-        biterrs = jnp.sum(x != xh)
+        biterrs = jnp.sum(xs != xh, axis=1)
         return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
 
     if mesh is None:
-        be, bl, it = jax.jit(jax.vmap(one))(keys)
+        be, bl, it = jax.jit(batch_counts)(keys)
         return int(jnp.sum(be)), int(jnp.sum(bl)), int(jnp.sum(it))
 
     def shard_fn(keys_local):
-        be, bl, it = jax.vmap(one)(keys_local)
+        be, bl, it = batch_counts(keys_local)
         out = jnp.stack([jnp.sum(be), jnp.sum(bl), jnp.sum(it)])
         return jax.lax.psum(out, "dp")[None]
 

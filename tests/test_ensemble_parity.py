@@ -1,0 +1,80 @@
+"""Dense-Gaussian vs structured-Hadamard ensemble parity.
+
+The reference's L3 stack uses a dense i.i.d. Gaussian design matrix
+(sparc_sophie/sparc_new.py:1284-1294); our framework standardizes on the
+SRHT Hadamard engine. SURVEY.md section 7 flags the equivalence as needing
+an explicit statistical test: here an independent float64 NumPy AMP with a
+dense Gaussian A (re-derived from the AMP equations of
+sparc_sophie/sparc_new.py:885-912, not a port) is compared against the JAX
+decoder with the Hadamard design at matched configs — BER must agree within
+Monte-Carlo confidence at an operating point with a nonzero error rate.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldpc_sparc_tpu.config import SparcParams, DecodeParams
+from ldpc_sparc_tpu.models.sparc import sparc_sim
+
+
+def numpy_gaussian_amp_trial(L, M, P, R, awgn_var, t_max, rng):
+    """One dense-Gaussian SPARC trial with scalar-tau AMP, float64 numpy."""
+    logM = int(np.log2(M))
+    n = int(L * logM / R)
+    c = np.sqrt(n * P / L)
+
+    idx = rng.integers(0, M, L)
+    beta0 = np.zeros(L * M)
+    beta0[np.arange(L) * M + idx] = c
+
+    A = rng.normal(0.0, 1.0 / np.sqrt(n), (n, L * M))
+    y = A @ beta0 + rng.normal(0.0, np.sqrt(awgn_var), n)
+
+    beta = np.zeros(L * M)
+    z = y.copy()
+    s = None
+    for t in range(t_max):
+        if t > 0:
+            z = y - A @ beta + (z / tau2) * (P - beta @ beta / n)
+        s = beta + A.T @ z
+        tau2 = z @ z / n
+        x = c * s / tau2
+        x = x.reshape(L, M)
+        x -= x.max(axis=1, keepdims=True)
+        e = np.exp(x)
+        beta = (c * e / e.sum(axis=1, keepdims=True)).reshape(L * M)
+    idx_hat = s.reshape(L, M).argmax(axis=1)
+    sec_errs = np.count_nonzero(idx_hat != idx)
+    return sec_errs
+
+
+@pytest.mark.slow
+def test_gaussian_vs_hadamard_ser_parity():
+    # operating point with SER around 5-20% so both ensembles show errors
+    L, M, P, R = 96, 16, 15.0, 1.7
+    awgn_var = 1.0
+    t_max = 12
+    trials = 24
+
+    rng = np.random.default_rng(0)
+    gauss_errs = sum(
+        numpy_gaussian_amp_trial(L, M, P, R, awgn_var, t_max, rng)
+        for _ in range(trials))
+
+    params = SparcParams(P=P, R=R, L=L, M=M)
+    dec = DecodeParams(t_max=t_max)
+    had_errs = 0
+    for seed in range(trials):
+        r = sparc_sim(params, dec, awgn_var, seed=seed)
+        had_errs += int(r["num_of_sec_errs"])
+
+    n_secs = trials * L
+    p_g = gauss_errs / n_secs
+    p_h = had_errs / n_secs
+    # binomial std of the difference (sections within a trial are weakly
+    # dependent; allow 4 sigma plus a 2% absolute floor)
+    sigma = np.sqrt(p_g * (1 - p_g) / n_secs + p_h * (1 - p_h) / n_secs)
+    assert abs(p_g - p_h) < max(4 * sigma, 0.04), (p_g, p_h, sigma)
+    assert p_g > 0 and p_h > 0, "operating point must exercise errors"
