@@ -1,0 +1,120 @@
+"""Scripted reproduction of every reference baseline row (BASELINE.md /
+SURVEY.md section 6).
+
+Each row times the same experiment the reference's stored outputs measured,
+on whatever platform JAX selects (TPU under axon, CPU with --platform cpu),
+and prints a JSON line per row with the reference number alongside.
+
+Rows:
+  1. plain SPARC trial        (L=1024, M=32, R=1.3)    ref 0.049-0.117 s/run
+  2. power-allocated trial    (L=1024, M=32, B=32)     ref 0.131-0.268 s/run
+  3. spatially-coupled trial  (L=1024, M=32, w2/La8)   ref 0.153-0.358 s/run
+  4. modulated complex trial  (L=2048, M=8, K=4)       ref 0.185-0.319 s/run
+  5. large SC decode (wave)   (L=2048, M=512, w6/La32) ref 17.4-24.8  s/run
+  6. LDPC BP decode           (802.11n 1/2 z=27, ~2dB) ref 138 ms/block
+  7. LDPC encode              (same code)              ref 4 ms/block
+
+Usage: python benchmarks/reproduce_baselines.py [--platform cpu] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def timed(fn, reps=3):
+    out = fn()
+    import jax
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the large SC row")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    import jax.numpy as jnp
+    from ldpc_sparc_tpu import SparcParams, DecodeParams, sparc_sim
+    from ldpc_sparc_tpu.models.ldpc import get_code
+
+    dec = DecodeParams(t_max=25)
+
+    def trial_row(name, params, ref, tmax=25):
+        d = DecodeParams(t_max=tmax)
+
+        def run():
+            r = sparc_sim(params, d, 1.0, seed=0)
+            return r["nmse"]
+        dt = timed(run)
+        r = sparc_sim(params, d, 1.0, seed=1)
+        print(json.dumps({
+            "row": name, "s_per_run": round(dt, 4), "reference_s": ref,
+            "speedup": round(np.mean(ref) / dt, 1),
+            "ber": float(r["ber"]), "t_final": int(r["t_final"])}))
+
+    trial_row("plain SPARC trial",
+              SparcParams(P=15.0, R=1.3, L=1024, M=32), [0.049, 0.117])
+    trial_row("power-allocated trial",
+              SparcParams(P=15.0, R=1.4, L=1024, M=32, power_allocated=True,
+                          B=32, R_PA_ratio=1.0), [0.131, 0.268])
+    trial_row("spatially-coupled trial",
+              SparcParams(P=15.0, R=1.4, L=1024, M=32, spatially_coupled=True,
+                          omega=2, Lambda=8), [0.153, 0.358])
+    trial_row("modulated complex trial",
+              SparcParams(P=15.0, R=2.6, L=2048, M=8, is_complex=True,
+                          modulated=True, K=4), [0.185, 0.319])
+    if not args.quick:
+        trial_row("large SC decode (wave demo)",
+                  SparcParams(P=15.0, R=1.5, L=2048, M=512,
+                              spatially_coupled=True, omega=6, Lambda=32),
+                  [17.4, 24.8], tmax=40)
+
+    # LDPC rows
+    code = get_code("802.11n", "1/2", 27)
+    rng = np.random.default_rng(0)
+    B = 256
+    us = rng.integers(0, 2, (B, code.K))
+
+    def enc():
+        return code.encode(jnp.asarray(us))
+    dt = timed(enc)
+    print(json.dumps({"row": "LDPC encode", "ms_per_block":
+                      round(dt / B * 1e3, 4), "reference_ms": 4.0,
+                      "speedup": round(4.0 / (dt / B * 1e3), 1)}))
+
+    xs = np.asarray(enc())
+    sigma2 = 1.0 / 10 ** (2.0 / 10)
+    ys = (1.0 - 2.0 * xs) + rng.normal(0, np.sqrt(sigma2), xs.shape)
+    llr = jnp.asarray(2.0 / sigma2 * ys, jnp.float32)
+
+    def bp():
+        return code.decode(llr, 200, "sumprod2").app
+    dt = timed(bp)
+    errs = int(jnp.sum((code.decode(llr, 200, "sumprod2").app < 0)
+                       != jnp.asarray(xs, bool)))
+    print(json.dumps({"row": "LDPC BP decode", "ms_per_block":
+                      round(dt / B * 1e3, 4), "reference_ms": 138.0,
+                      "speedup": round(138.0 / (dt / B * 1e3), 1),
+                      "bit_errs": errs}))
+
+
+if __name__ == "__main__":
+    main()

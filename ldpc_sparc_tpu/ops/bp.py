@@ -172,8 +172,8 @@ def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
     chk_mask = jnp.asarray(g.chk_edges >= 0)
     safe_edges = jnp.maximum(chk_edges, 0)
 
-    def one_iter(carry, _):
-        c2v_chk, app, it, done = carry
+    def one_iter(carry):
+        t, c2v_chk, app, it, done = carry
         # done: (B,) frozen-codeword flags
 
         # ---- variable node rule ("sum", c_ldpc.c:54-68) ----
@@ -201,14 +201,18 @@ def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
 
         # freeze finished codewords; count = first t with parity satisfied
         keep = lambda old, new: jnp.where(done, old, new)
-        return (keep(c2v_chk, c2v_new), keep(app, app_new),
+        return (t + 1, keep(c2v_chk, c2v_new), keep(app, app_new),
                 jnp.where(done | parity_ok, it, it + 1),
-                done | parity_ok), None
+                done | parity_ok)
 
-    init = (jnp.zeros((E, z, B), dtype), jnp.zeros((Np, z, B), dtype),
+    init = (jnp.int32(0), jnp.zeros((E, z, B), dtype),
+            jnp.zeros((Np, z, B), dtype),
             jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
-    (c2v, app, it, done), _ = jax.lax.scan(one_iter, init, None,
-                                           length=max_iters)
+    # while_loop: stop as soon as every codeword satisfies parity (the C
+    # kernel's break, c_ldpc.c:104-106)
+    _, c2v, app, it, done = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < max_iters, ~jnp.all(c[-1])),
+        one_iter, init)
     return BpResult(app=jnp.moveaxis(app, -1, 0).reshape(B, Np * z),
                     iterations=it)
 

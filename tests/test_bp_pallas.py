@@ -1,0 +1,48 @@
+"""Pallas BP kernel vs the XLA kernel (interpret mode on CPU).
+
+Validation chain (SURVEY.md section 4): Pallas kernel == XLA kernel
+(bit-exact f32, tested here) == C++ float64 oracle (decision/iteration
+agreement, tested in test_ldpc.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldpc_sparc_tpu.models.ldpc import get_code
+from ldpc_sparc_tpu.ops.bp import bp_decode
+from ldpc_sparc_tpu.ops.bp_pallas import bp_decode_pallas
+
+
+@pytest.mark.parametrize("standard,rate,z", [
+    ("802.11n", "1/2", 27),
+    ("802.16", "5/6", 12),
+])
+@pytest.mark.parametrize("method", ["sumprod", "minsum"])
+def test_pallas_matches_xla(standard, rate, z, method):
+    code = get_code(standard, rate, z)
+    rng = np.random.default_rng(hash((standard, rate, z, method)) % 2**32)
+    sigma2 = 1.0 / 10 ** (2.5 / 10)
+    B = 3
+    us = rng.integers(0, 2, (B, code.K))
+    xs = np.asarray(code.encode(jnp.asarray(us)))
+    ys = (1.0 - 2.0 * xs) + rng.normal(0, np.sqrt(sigma2), xs.shape)
+    llr = jnp.asarray(2.0 / sigma2 * ys, jnp.float32)
+
+    r_ref = bp_decode(llr, code.graph, 30, method)
+    r_pal = bp_decode_pallas(llr, code.graph, 30, method, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_ref.iterations),
+                                  np.asarray(r_pal.iterations))
+    np.testing.assert_allclose(np.asarray(r_ref.app), np.asarray(r_pal.app),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_noiseless_fixed_point():
+    code = get_code("802.11n", "1/2", 27)
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, 2, code.K)
+    x = np.asarray(code.encode(jnp.asarray(u)))
+    y = jnp.asarray(10.0 * (0.5 - x), jnp.float32)
+    r = bp_decode_pallas(y, code.graph, 100, "sumprod", interpret=True)
+    assert int(r.iterations) == 0
+    assert np.array_equal(np.asarray(r.app) < 0, x.astype(bool))

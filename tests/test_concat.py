@@ -97,3 +97,26 @@ def test_ldpc_bool_false_plain_sparc_path():
                              decoder="amp_only")["ber"])
             for s in (4, 5, 6)]
     assert np.mean(bers) < 0.05
+
+
+def test_decode_instrumented():
+    """Per-iteration BER probes: post-BP decisions should be at least as
+    good as pre-BP by the final iterations (the reference's printf-style
+    probe methodology, sparc_new.py:314-409)."""
+    import jax
+    sp, ldpc, lengths = small_setup()
+    from ldpc_sparc_tpu.models.concat import ConcatCodec
+    from ldpc_sparc_tpu.models.sparc import awgn_channel
+    from ldpc_sparc_tpu.utils import rng as rngmod
+    codec = ConcatCodec(sp, ldpc, lengths, True)
+    key = rngmod.root_key(11)
+    user_bits, _, _, x, design = codec.encode(11, key)
+    y = awgn_channel(x, 19.44 / 5.0, rngmod.derive(key, rngmod.CHANNEL))
+    probes = codec.decode_instrumented(y, design, DecodeParams(t_max=8),
+                                       decoder="naive")
+    bi = np.asarray(user_bits)
+    pre = np.mean(np.asarray(probes["pre_bp"]) != bi, axis=1)
+    post = np.mean(np.asarray(probes["post_bp"]) != bi, axis=1)
+    assert pre.shape == (8,)
+    assert post[-1] <= pre[-1] + 1e-9
+    assert post[-1] <= post[0] + 1e-9  # improves over iterations
