@@ -13,9 +13,13 @@ Usage:  python examples/sc_decode_wave.py [--platform cpu] [--small]
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

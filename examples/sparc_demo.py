@@ -9,9 +9,13 @@ Usage:  python examples/sparc_demo.py [--platform cpu] [--runs 5]
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

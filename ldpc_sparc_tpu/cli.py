@@ -72,9 +72,27 @@ def cmd_sparc_sweep(args):
     return rows
 
 
+# The reference's 36-entry grid-engine parameter table
+# (ldpc_jossy/py/ldpc_awgn.py:6-43), selectable with --sim-id 1..36.
+SIM_PARAM_TABLE = [
+    (std, rate, z, pt)
+    for std, zs in [("802.16", [3, 27, 54, 81]), ("802.11n", [27, 54, 81])]
+    for z in zs
+    for rate, pts in [("1/2", ["A"]),
+                      ("2/3", ["A", "B"] if std == "802.16" else ["A"]),
+                      ("3/4", ["A", "B"] if std == "802.16" else ["A"]),
+                      ("5/6", ["A"])]
+    for pt in pts
+]
+
+
 def cmd_ldpc_campaign(args):
     _init_jax(args)
     from .config import LdpcParams
+    if args.sim_id is not None:
+        assert 1 <= args.sim_id <= len(SIM_PARAM_TABLE)
+        args.standard, args.rate, args.z, args.ptype = \
+            SIM_PARAM_TABLE[args.sim_id - 1]
     from .parallel.montecarlo import ldpc_waterfall_campaign
     from .io.results import (ResultsStore, record_to_tuple_line,
                              records_to_csv, plot_waterfalls)
@@ -177,6 +195,9 @@ def main(argv=None):
 
     p = sub.add_parser("ldpc-campaign", help="LDPC BER waterfall campaign")
     _add_common(p)
+    p.add_argument("--sim-id", type=int, default=None,
+                   help="row 1..36 of the reference's grid-engine table "
+                        "(overrides --standard/--rate/--z/--ptype)")
     p.add_argument("--standard", default="802.11n")
     p.add_argument("--rate", default="1/2")
     p.add_argument("--z", type=int, default=27)

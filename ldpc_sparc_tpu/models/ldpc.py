@@ -173,6 +173,18 @@ class LdpcCode:
         return bp_decode(ch, self.graph, max_iters=max_itcount, method=method,
                          corr_factor=corr_factor)
 
+    def Lxor(self, L1: float, L2: float, corrflag: int = 1) -> float:
+        """Pairwise LLR-XOR via the native oracle (API of ldpc.py:492-495)."""
+        from ..native import oracle
+        return oracle.lxor(float(L1), float(L2), corrflag)
+
+    def Lxfb(self, L, corrflag: int = 1):
+        """Extrinsic LLRs via the native oracle (API of ldpc.py:497-503).
+        Returns (aggregate, extrinsic_array)."""
+        from ..native import oracle
+        total, ext = oracle.lxfb(np.asarray(L, np.float64), corrflag)
+        return total, ext
+
     def decode_ref(self, ch: np.ndarray, max_itcount: int = 200,
                    dectype: str = "sumprod2",
                    corr_factor: float = 0.7) -> Tuple[np.ndarray, int]:
