@@ -90,7 +90,8 @@ class AmpResult(NamedTuple):
 
 def amp_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
                decode: DecodeParams, awgn_var: float,
-               beta0: Optional[jnp.ndarray] = None) -> AmpResult:
+               beta0: Optional[jnp.ndarray] = None,
+               W: Optional[jnp.ndarray] = None) -> AmpResult:
     """AMP decoding of a SPARC codeword (sparc_public/sparc.py:883-999).
 
     Per iteration (unified 2-D base-matrix form, Lr x Lc blocks):
@@ -105,7 +106,11 @@ def amp_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
     with masked early stopping on allclose(psi, psi_prev, rtol) and a final
     MAP hard decision on s (the reference's rationale at sparc.py:990-996).
     """
-    W = jnp.asarray(create_base_matrix(params, awgn_var), dtype=jnp.float32)
+    if W is None:
+        # building W host-side needs a concrete awgn_var (power allocation
+        # runs a numpy fixed point); jitted callers pass W explicitly
+        W = create_base_matrix(params, float(awgn_var))
+    W = jnp.asarray(W, dtype=jnp.float32)
     Lr, Lc = W.shape
     L, M, K = params.L, params.M, params.K
     n, LM = design.n, design.LM
@@ -196,21 +201,26 @@ def sparc_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
 # End-to-end simulation
 # --------------------------------------------------------------------------
 
-def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
-              seed) -> dict:
-    """End-to-end single-trial simulation (sparc_public/sparc_sim.py:8-58).
+@partial(jax.jit, static_argnames=("params", "decode"))
+def _sim_core(key: jax.Array, design: SparcDesign, W: jnp.ndarray,
+              params: SparcParams, decode: DecodeParams, awgn_var) -> dict:
+    """Jitted end-to-end trial: bits -> beta0 -> x -> AWGN -> AMP -> metrics.
 
-    Returns the reference's metric dict: ber, cer, t_final, nmse, detect,
-    plus section-error metrics.
+    One fused device program per (params, decode) pair — the eager per-op
+    path costs ~0.8 s/trial through the TPU tunnel; jitted it is
+    milliseconds.
     """
     from ..utils.metrics import (bit_error_rate, section_errors,
                                  location_value_errors)
 
-    key = rngmod.root_key(seed)
-    bits_in, beta0, x, design = sparc_encode(params, awgn_var, seed, key)
+    bits_in = bitops.random_bits(rngmod.derive(key, rngmod.BITS),
+                                 params.bit_len)
+    beta0 = bitops.bits_to_msg_vector(bits_in, params.M, params.K)
+    x = design.ab(beta0)
     y = awgn_channel(x, awgn_var, rngmod.derive(key, rngmod.CHANNEL))
-    bits_out, res, expect_err = sparc_decode(y, design, params, decode,
-                                             awgn_var, beta0)
+    res = amp_decode(y, design, params, decode, awgn_var, beta0, W)
+    expect_err = jnp.mean(res.psi) >= 0.001  # sparc.py:66-68
+    bits_out = bitops.msg_vector_to_bits(res.beta, params.M, params.K)
 
     ber = bit_error_rate(bits_in, bits_out)
     cer = (ber > 0).astype(jnp.float32)
@@ -224,3 +234,16 @@ def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
         (ler, ver, ser), _ = location_value_errors(beta0, res.beta, params.L)
         results.update({"ser": ser, "ler": ler, "ver": ver})
     return results
+
+
+def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
+              seed) -> dict:
+    """End-to-end single-trial simulation (sparc_public/sparc_sim.py:8-58).
+
+    Returns the reference's metric dict: ber, cer, t_final, nmse, detect,
+    plus section-error metrics.
+    """
+    key = rngmod.root_key(seed)
+    design = SparcDesign.for_params(params, awgn_var, seed)
+    W = jnp.asarray(create_base_matrix(params, awgn_var), jnp.float32)
+    return _sim_core(key, design, W, params, decode, jnp.float32(awgn_var))
