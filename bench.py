@@ -32,7 +32,7 @@ def main():
     # persistent compilation cache: repeat bench runs skip the slow
     # first-time XLA compiles
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+                             ".jax_cache", jax.default_backend())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -72,12 +72,17 @@ def main():
         lambda b: bitops.msg_vector_to_bits(b, params.M))(beta)
     ber = float(jnp.mean(bits.astype(jnp.int32) != bits_out.astype(jnp.int32)))
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        beta, _ = decode_batch(y)
-    beta.block_until_ready()
-    dt = time.perf_counter() - t0
+    # several short timing windows, best-of: per-dispatch tunnel latency is
+    # noisy, throughput is the stable quantity
+    reps, windows = 5, 4
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            beta, _ = decode_batch(y)
+        beta.block_until_ready()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     iters = batch * (decode.t_max - 1) * reps
     iters_per_s = iters / dt
@@ -99,12 +104,14 @@ def main():
     llr = (2.0 / sigma2 * ys).astype(jnp.float32)
     res_bp = code.decode(llr, 50, "sumprod2")
     jax.block_until_ready(res_bp.app)
-    t0 = time.perf_counter()
     bp_reps = 5
-    for _ in range(bp_reps):
-        res_bp = code.decode(llr, 50, "sumprod2")
-    jax.block_until_ready(res_bp.app)
-    bp_dt = (time.perf_counter() - t0) / bp_reps
+    bp_dt = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(bp_reps):
+            res_bp = code.decode(llr, 50, "sumprod2")
+        jax.block_until_ready(res_bp.app)
+        bp_dt = min(bp_dt, (time.perf_counter() - t0) / bp_reps)
     bp_errs = int(jnp.sum((res_bp.app < 0).astype(jnp.int32) != xs))
 
     result = {

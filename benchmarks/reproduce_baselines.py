@@ -50,7 +50,8 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"
+                          / jax.default_backend()))
     import jax.numpy as jnp
     from ldpc_sparc_tpu import SparcParams, DecodeParams, sparc_sim
     from ldpc_sparc_tpu.models.ldpc import get_code

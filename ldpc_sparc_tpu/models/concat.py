@@ -97,10 +97,10 @@ class ConcatCodec:
         coded = self.code.encode(info).reshape(-1)
         return jnp.concatenate([jnp.asarray(unprotected, coded.dtype), coded])
 
-    def encode(self, seed, key: Optional[jax.Array] = None):
-        """Returns (user_bits, total_bits, beta0, x, design)."""
-        if key is None:
-            key = rngmod.root_key(seed)
+    def encode_message(self, key: jax.Array):
+        """Traceable message path: random user bits -> LDPC encode ->
+        amplitude-carrying message vector. Returns (user_bits, total_bits,
+        beta0)."""
         user_bits = bitops.random_bits(
             rngmod.derive(key, rngmod.BITS), self.user_bits_len).astype(jnp.int32)
         if self.ldpc_protected:
@@ -111,6 +111,13 @@ class ConcatCodec:
         beta0 = bitops.bits_to_msg_vector(total_bits.astype(bool),
                                           self.sparc.M, 1,
                                           amplitude=self.c_amp)
+        return user_bits, total_bits, beta0
+
+    def encode(self, seed, key: Optional[jax.Array] = None):
+        """Returns (user_bits, total_bits, beta0, x, design)."""
+        if key is None:
+            key = rngmod.root_key(seed)
+        user_bits, total_bits, beta0 = self.encode_message(key)
         design = self.build_design(seed)
         x = design.ab(beta0 / self.c_amp)  # A beta0 = D(beta0)/c
         return user_bits, total_bits, beta0, x, design
@@ -401,18 +408,39 @@ class ConcatCodec:
 # end-to-end simulation (sparc_sim_new.py:12-224 family)
 # --------------------------------------------------------------------------
 
+_SIM_CACHE = {}
+
+
 def concat_sim(sparc_params: SparcParams, ldpc_params: LdpcParams,
                lengths: ConcatLengths, ldpc_protected: bool,
                decode_params: DecodeParams, awgn_var: float, seed,
                decoder: str = "sequential") -> dict:
-    """One concatenated-code trial: encode -> AWGN -> decode -> BER."""
+    """One concatenated-code trial: encode -> AWGN -> decode -> BER.
+
+    The whole trial (LDPC encode, SPARC spreading, channel, AMP+BP decode)
+    is one jitted device program per configuration — AMP soft outputs feed
+    BP without host round-trips (the BASELINE.json north star), and nothing
+    runs eagerly through the TPU tunnel.
+    """
     from .sparc import awgn_channel
     from ..utils.metrics import bit_error_rate
 
     codec = ConcatCodec(sparc_params, ldpc_params, lengths, ldpc_protected)
+    cfg = (sparc_params, ldpc_params, lengths, ldpc_protected, decode_params,
+           decoder)
+    if cfg not in _SIM_CACHE:
+        def trial(key, design, awgn_var):
+            user_bits, total_bits, beta0 = codec.encode_message(key)
+            x = design.ab(beta0 / codec.c_amp)
+            y = awgn_channel(x, awgn_var,
+                             rngmod.derive(key, rngmod.CHANNEL))
+            bits_out = codec.decode(y, design, decode_params, decoder)
+            return user_bits, bits_out
+
+        _SIM_CACHE[cfg] = (codec, jax.jit(trial))
+    codec, trial_fn = _SIM_CACHE[cfg]
     key = rngmod.root_key(seed)
-    user_bits, total_bits, beta0, x, design = codec.encode(seed, key)
-    y = awgn_channel(x, awgn_var, rngmod.derive(key, rngmod.CHANNEL))
-    bits_out = codec.decode(y, design, decode_params, decoder)
+    design = codec.build_design(seed)
+    user_bits, bits_out = trial_fn(key, design, jnp.float32(awgn_var))
     ber = bit_error_rate(user_bits, bits_out)
     return {"ber": ber, "bits_in": user_bits, "bits_out": bits_out}

@@ -66,3 +66,20 @@ def test_param_calc():
     assert L_sparc == 7200
     assert L_sparc_ldpc == 14400
     np.testing.assert_allclose(rate, 0.5)
+
+
+def test_param_calc_semi_protected():
+    # semi-protected config of performance_plots_general.py:50-65:
+    # 802.11n r=5/6 z=81 -> K = 20*81 = 1620, mults=3, M=64, 100% protected
+    from ldpc_sparc_tpu.config import param_calc_semi_protected
+    ldpc = LdpcParams(standard="802.11n", rate="5/6", z=81)
+    ldpc_K = 20 * 81
+    L_sparc, R_sl, L_sl, lengths, rate = param_calc_semi_protected(
+        R=0.8, mults=3, percent_protected=1.0, M=64, ldpc=ldpc,
+        int_rate=5 / 6, ldpc_K=ldpc_K)
+    assert lengths.k_ldpc == 4860
+    assert lengths.L_unprotected == 0
+    n_ldpc = int(4860 / (5 / 6))
+    assert L_sl == n_ldpc // 6
+    assert L_sparc == 4860 // 6
+    np.testing.assert_allclose(rate, 4860 / int(4860 / 0.8))
