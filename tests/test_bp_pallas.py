@@ -14,11 +14,13 @@ from ldpc_sparc_tpu.ops.bp import bp_decode
 from ldpc_sparc_tpu.ops.bp_pallas import bp_decode_pallas
 
 
-@pytest.mark.parametrize("standard,rate,z", [
-    ("802.11n", "1/2", 27),
-    ("802.16", "5/6", 12),
+# interpret mode executes the unrolled kernel op-by-op in Python — keep the
+# codes tiny (z=6) so the suite stays fast; the TPU path is exercised by
+# bench.py and is bit-identical by construction
+@pytest.mark.parametrize("standard,rate,z,method", [
+    ("802.16", "1/2", 6, "sumprod"),
+    ("802.16", "5/6", 6, "minsum"),
 ])
-@pytest.mark.parametrize("method", ["sumprod", "minsum"])
 def test_pallas_matches_xla(standard, rate, z, method):
     code = get_code(standard, rate, z)
     rng = np.random.default_rng(hash((standard, rate, z, method)) % 2**32)
@@ -29,8 +31,8 @@ def test_pallas_matches_xla(standard, rate, z, method):
     ys = (1.0 - 2.0 * xs) + rng.normal(0, np.sqrt(sigma2), xs.shape)
     llr = jnp.asarray(2.0 / sigma2 * ys, jnp.float32)
 
-    r_ref = bp_decode(llr, code.graph, 30, method)
-    r_pal = bp_decode_pallas(llr, code.graph, 30, method, interpret=True)
+    r_ref = bp_decode(llr, code.graph, 15, method)
+    r_pal = bp_decode_pallas(llr, code.graph, 15, method, interpret=True)
     np.testing.assert_array_equal(np.asarray(r_ref.iterations),
                                   np.asarray(r_pal.iterations))
     np.testing.assert_allclose(np.asarray(r_ref.app), np.asarray(r_pal.app),
@@ -38,7 +40,7 @@ def test_pallas_matches_xla(standard, rate, z, method):
 
 
 def test_pallas_noiseless_fixed_point():
-    code = get_code("802.11n", "1/2", 27)
+    code = get_code("802.16", "1/2", 6)
     rng = np.random.default_rng(1)
     u = rng.integers(0, 2, code.K)
     x = np.asarray(code.encode(jnp.asarray(u)))

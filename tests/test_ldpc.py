@@ -46,7 +46,7 @@ def test_structure_encode_noiseless_decode(standard, rate, z, ptype):
     assert np.array_equal(np.sort(code.intrlv), np.arange(code.Nmsg))
 
     rng = np.random.default_rng(hash((standard, rate, z, ptype)) % 2**32)
-    n_words = 4
+    n_words = 3
     us = rng.integers(0, 2, (n_words, code.K))
     xs = np.asarray(code.encode(jnp.asarray(us)))
     # zero syndrome for every codeword
@@ -56,9 +56,11 @@ def test_structure_encode_noiseless_decode(standard, rate, z, ptype):
     res = code.decode(jnp.asarray(ys, jnp.float32), 200, "sumprod2")
     assert np.all(np.asarray(res.iterations) == 0)
     assert np.array_equal(np.asarray(res.app) < 0, xs.astype(bool))
-    res_ms = code.decode(jnp.asarray(ys, jnp.float32), 200, "minsum")
-    assert np.all(np.asarray(res_ms.iterations) == 0)
-    assert np.array_equal(np.asarray(res_ms.app) < 0, xs.astype(bool))
+    if z <= 27:  # minsum compile per shape is the suite's main cost;
+        # a representative subset keeps coverage (all shapes hit sumprod)
+        res_ms = code.decode(jnp.asarray(ys, jnp.float32), 200, "minsum")
+        assert np.all(np.asarray(res_ms.iterations) == 0)
+        assert np.array_equal(np.asarray(res_ms.app) < 0, xs.astype(bool))
     # oracle agrees on one codeword
     app_ref, it_ref = code.decode_ref(ys[0], 200, "sumprod")
     assert it_ref == 0
