@@ -131,7 +131,12 @@ def waterfall_metrics(rec: Tuple) -> dict:
 
 def plot_waterfalls(records: Iterable[Tuple], out_path,
                     title: str = "LDPC BER waterfalls"):
-    """BER-vs-Eb/N0 plot with Shannon-limit anchors (disp_res.py:40-131)."""
+    """BER-vs-Eb/N0 plot with Shannon-limit anchors (disp_res.py:40-131).
+
+    A .pdf out_path produces a multi-page document, one page per
+    (standard, rate) group (the reference's multi-page PDF export,
+    disp_res.py:7-13); any other extension writes a single combined figure.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -142,20 +147,39 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
         key = (m["standard"], m["rate"], m["z"])
         groups.setdefault(key, []).append(m)
 
+    def draw(ax, keys):
+        for (std, rate, z) in keys:
+            ms = sorted(groups[(std, rate, z)], key=lambda m: m["ebn0_db"])
+            ax.semilogy([m["ebn0_db"] for m in ms],
+                        [max(m["ber"], 1e-9) for m in ms],
+                        "o-", label=f"{std} {rate} z={z}")
+            num, den = str(rate).split("/")
+            R = round(int(num) / int(den), 3)
+            if R in SHANNON_EBN0_DB:
+                ax.axvline(SHANNON_EBN0_DB[R], ls=":", color="gray", lw=1)
+        ax.set_xlabel("Eb/N0 (dB)")
+        ax.set_ylabel("BER")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend(fontsize=8)
+
+    if str(out_path).endswith(".pdf"):
+        from matplotlib.backends.backend_pdf import PdfPages
+        pages = {}
+        for k in groups:
+            pages.setdefault(k[:2], []).append(k)
+        with PdfPages(out_path) as pdf:
+            for (std, rate), keys in sorted(pages.items()):
+                fig, ax = plt.subplots(figsize=(8, 5))
+                draw(ax, sorted(keys))
+                ax.set_title(f"{title}: {std} rate {rate}")
+                fig.tight_layout()
+                pdf.savefig(fig)
+                plt.close(fig)
+        return out_path
+
     fig, ax = plt.subplots(figsize=(8, 5))
-    for (std, rate, z), ms in sorted(groups.items()):
-        ms.sort(key=lambda m: m["ebn0_db"])
-        ax.semilogy([m["ebn0_db"] for m in ms], [max(m["ber"], 1e-9) for m in ms],
-                    "o-", label=f"{std} {rate} z={z}")
-        num, den = str(rate).split("/")
-        R = round(int(num) / int(den), 3)
-        if R in SHANNON_EBN0_DB:
-            ax.axvline(SHANNON_EBN0_DB[R], ls=":", color="gray", lw=1)
-    ax.set_xlabel("Eb/N0 (dB)")
-    ax.set_ylabel("BER")
+    draw(ax, sorted(groups))
     ax.set_title(title)
-    ax.grid(True, which="both", alpha=0.3)
-    ax.legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
