@@ -101,7 +101,10 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         shard_fn, mesh=mesh, check_vma=False,
         in_specs=(P("dp"), P("dp", None, None), P("dp", None, None)),
         out_specs=P("dp")))
-    out = np.asarray(fn(keys, designs.idx, designs.signs))[0]
+    res = fn(keys, designs.idx, designs.signs)
+    # rows are psum-replicated; in multi-process runs only local shards are
+    # addressable, and any one row carries the global counts
+    out = np.asarray(res.addressable_shards[0].data)[0]
     return {
         "bit_errs": int(out[0]), "bits": n_trials * params.bit_len,
         "sec_errs": int(out[1]), "sections": n_trials * L,
@@ -171,7 +174,8 @@ def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
 
     fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=P("dp"),
                                out_specs=P("dp")))
-    out = np.asarray(fn(keys))[0]
+    res = fn(keys)
+    out = np.asarray(res.addressable_shards[0].data)[0]
     return int(out[0]), int(out[1]), int(out[2])
 
 

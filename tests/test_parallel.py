@@ -107,3 +107,16 @@ def test_waterfall_campaign_small():
     std, rate, z, snr0, nblocks, nblk, nbits, nbit, nit = recs[0]
     assert std == "802.11n" and nblocks >= 16 and nbits == nblocks * 324
     assert recs[1][3] > recs[0][3]  # adaptive SNR stepping increases SNR
+
+
+def test_multiprocess_distributed_smoke():
+    """Launch the 2-process jax.distributed Monte-Carlo example — the same
+    code path a multi-host pod uses (psum across the process boundary)."""
+    import subprocess, sys
+    from pathlib import Path
+    script = Path(__file__).resolve().parent.parent / "examples" / "multihost_mc.py"
+    out = subprocess.run([sys.executable, str(script), "--nprocs", "2",
+                          "--port", "19541"],
+                         capture_output=True, text=True, timeout=400)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "multi-process run OK" in out.stdout
