@@ -106,8 +106,8 @@ def cmd_ldpc_campaign(args):
     def on_point(rec):
         with open(txt, "a") as f:
             f.write(record_to_tuple_line(rec) + "\n")
-        print(json.dumps({"snr": rec[3], "blocks": rec[4],
-                          "block_errs": rec[5]}))
+        print(json.dumps({"snr": rec[4], "blocks": rec[5],
+                          "block_errs": rec[6]}))
 
     recs = ldpc_waterfall_campaign(
         params, seed=args.seed, n_measurements=args.points,

@@ -61,21 +61,41 @@ class ResultsStore:
 
 # --------------------------------------------------------------------------
 # reference tuple format (results.txt / results.csv)
+#
+# The reference has TWO tuple schemas in the wild:
+#   * the historical 10-field one with the protograph type, used by the
+#     archived data/results.txt and parsed by src/results2csv.c:49-50:
+#       (standard, rate, z, ptype, snr, nblocks, nblockerrors, nbits,
+#        nbiterrors, niterations)
+#   * the 9-field one (no ptype) that the current campaign driver writes
+#     (ldpc_jossy/py/ldpc_awgn.py:110-113).
+# We normalize everything to the 10-field schema (9-field lines get
+# ptype='A', the only type the 9-field driver ever ran).
 # --------------------------------------------------------------------------
 
-FIELDS = ("standard", "rate", "z", "snr", "nblocks", "nblockerrors",
+FIELDS = ("standard", "rate", "z", "ptype", "snr", "nblocks", "nblockerrors",
           "nbits", "nbiterrors", "niterations")
+
+
+def normalize_record(rec: Tuple) -> Tuple:
+    """Accept a 9- or 10-field measurement tuple; return the 10-field form."""
+    if len(rec) == 10:
+        return tuple(rec)
+    if len(rec) == 9:
+        std, rate, z, snr, nblocks, nblk, nbits, nbit, nit = rec
+        return (std, rate, z, "A", snr, nblocks, nblk, nbits, nbit, nit)
+    raise ValueError(f"measurement tuple has {len(rec)} fields, want 9 or 10")
 
 
 def record_to_tuple_line(rec: Tuple) -> str:
     """One measurement as the reference's results.txt tuple line
-    (ldpc_awgn.py:110-113)."""
-    std, rate, z, snr, nblocks, nblk, nbits, nbit, nit = rec
-    return repr((std, rate, z, snr, nblocks, nblk, nbits, nbit, nit))
+    (the 10-field schema of data/results.txt:1 / results2csv.c:49-50)."""
+    return repr(normalize_record(rec))
 
 
 def parse_tuple_line(line: str) -> Optional[Tuple]:
-    """Parse a results.txt tuple line (the job of results2csv.c:48-74)."""
+    """Parse a results.txt tuple line, either schema (results2csv.c:48-74
+    handles the 10-field form; ldpc_awgn.py:110 emits the 9-field form)."""
     line = line.strip()
     if not (line.startswith("(") and line.endswith(")")):
         return None
@@ -84,31 +104,59 @@ def parse_tuple_line(line: str) -> Optional[Tuple]:
         t = ast.literal_eval(line)
     except (ValueError, SyntaxError):
         return None
-    return t if len(t) == len(FIELDS) else None
+    if len(t) in (9, 10):
+        return normalize_record(t)
+    return None
 
 
-def records_to_csv(records: Iterable[Tuple], path=None) -> str:
-    """Measurement tuples -> CSV (replaces src/results2csv.c)."""
+def _rate_float(rate) -> float:
+    num, den = str(rate).split("/")
+    return int(num) / int(den)
+
+
+def records_to_csv(records: Iterable[Tuple], path=None,
+                   style: str = "reference") -> str:
+    """Measurement tuples -> CSV (replaces src/results2csv.c).
+
+    style="reference" reproduces results2csv.c's exact numeric schema
+    (results2csv.c:62-72, consumed by py/disp_res.py:23-44): no header,
+    standard as 16/11, rate as a decimal, ptype as 0 (A) / 1 (B), then
+    z, snr, nblocks, nblockerrors, nbits, nbiterrors, niterations.
+    style="named" writes a self-describing CSV with a FIELDS header row.
+    """
     buf = io.StringIO()
-    wr = csv.writer(buf)
-    wr.writerow(FIELDS)
-    for rec in records:
-        wr.writerow(rec)
+    if style == "named":
+        wr = csv.writer(buf)
+        wr.writerow(FIELDS)
+        for rec in records:
+            wr.writerow(normalize_record(rec))
+    elif style == "reference":
+        for rec in records:
+            std, rate, z, ptype, snr, nblocks, nblk, nbits, nbit, nit = \
+                normalize_record(rec)
+            std_num = 16 if str(std).endswith("6") else 11
+            buf.write("%d, %g, %d, %d, %g, %d, %d, %d, %d, %d\n" % (
+                std_num, _rate_float(rate), 0 if ptype == "A" else 1,
+                int(z), float(snr), int(nblocks), int(nblk), int(nbits),
+                int(nbit), int(nit)))
+    else:
+        raise ValueError(f"unknown CSV style {style!r}")
     out = buf.getvalue()
     if path is not None:
         Path(path).write_text(out)
     return out
 
 
-def results_txt_to_csv(txt_path, csv_path=None) -> str:
-    """Convert a reference-format results.txt to CSV."""
+def results_txt_to_csv(txt_path, csv_path=None,
+                       style: str = "reference") -> str:
+    """Convert a reference-format results.txt (either tuple schema) to CSV."""
     records = []
     with open(txt_path) as f:
         for line in f:
             t = parse_tuple_line(line)
             if t is not None:
                 records.append(t)
-    return records_to_csv(records, csv_path)
+    return records_to_csv(records, csv_path, style=style)
 
 
 # --------------------------------------------------------------------------
@@ -117,11 +165,11 @@ def results_txt_to_csv(txt_path, csv_path=None) -> str:
 
 def waterfall_metrics(rec: Tuple) -> dict:
     """BER / BLER / Eb/N0 for one measurement (disp_res.py derivations)."""
-    std, rate, z, snr, nblocks, nblk, nbits, nbit, nit = rec
-    num, den = str(rate).split("/")
-    R = int(num) / int(den)
+    std, rate, z, ptype, snr, nblocks, nblk, nbits, nbit, nit = \
+        normalize_record(rec)
+    R = _rate_float(rate)
     return {
-        "standard": std, "rate": rate, "z": z, "snr_db": snr,
+        "standard": std, "rate": rate, "z": z, "ptype": ptype, "snr_db": snr,
         "ber": nbit / nbits if nbits else 0.0,
         "bler": nblk / nblocks if nblocks else 0.0,
         "ebn0_db": snr - 10.0 * __import__("math").log10(R),
@@ -144,17 +192,20 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
     groups = {}
     for rec in records:
         m = waterfall_metrics(rec)
-        key = (m["standard"], m["rate"], m["z"])
+        key = (m["standard"], m["rate"], m["z"], m["ptype"])
         groups.setdefault(key, []).append(m)
 
     def draw(ax, keys):
-        for (std, rate, z) in keys:
-            ms = sorted(groups[(std, rate, z)], key=lambda m: m["ebn0_db"])
+        for (std, rate, z, ptype) in keys:
+            ms = sorted(groups[(std, rate, z, ptype)],
+                        key=lambda m: m["ebn0_db"])
+            label = f"{std} {rate} z={z}"
+            if ptype != "A":
+                label += f" type {ptype}"
             ax.semilogy([m["ebn0_db"] for m in ms],
                         [max(m["ber"], 1e-9) for m in ms],
-                        "o-", label=f"{std} {rate} z={z}")
-            num, den = str(rate).split("/")
-            R = round(int(num) / int(den), 3)
+                        "o-", label=label)
+            R = round(_rate_float(rate), 3)
             if R in SHANNON_EBN0_DB:
                 ax.axvline(SHANNON_EBN0_DB[R], ls=":", color="gray", lw=1)
         ax.set_xlabel("Eb/N0 (dB)")

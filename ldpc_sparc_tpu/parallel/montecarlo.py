@@ -195,8 +195,10 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
     `on_point(record)` is called after each measured point (for the
     resumable results store).
 
-    Returns the list of measurement records in the reference's tuple schema
-    (standard, rate, z, SNR, nblocks, nblockerrors, nbits, nbiterrors, niters).
+    Returns the list of measurement records in the reference's historical
+    10-field tuple schema (standard, rate, z, ptype, SNR, nblocks,
+    nblockerrors, nbits, nbiterrors, niters) — the data/results.txt:1 /
+    results2csv.c:49-50 format.
     """
     from ..models.ldpc import get_code
     code = get_code(ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
@@ -219,7 +221,8 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
             nit += it
             nblocks += batch
         rec = (ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
-               float(snr), nblocks, nblk, nblocks * code.K, nbit, nit)
+               ldpc_params.ptype, float(snr), nblocks, nblk,
+               nblocks * code.K, nbit, nit)
         records.append(rec)
         if on_point is not None:
             on_point(rec)

@@ -104,9 +104,10 @@ def test_waterfall_campaign_small():
         n_measurements=2, min_errors=4, max_blocks=64, batch=16,
         max_iters=30, mesh=make_mesh(sec=1))
     assert len(recs) == 2
-    std, rate, z, snr0, nblocks, nblk, nbits, nbit, nit = recs[0]
+    std, rate, z, ptype, snr0, nblocks, nblk, nbits, nbit, nit = recs[0]
     assert std == "802.11n" and nblocks >= 16 and nbits == nblocks * 324
-    assert recs[1][3] > recs[0][3]  # adaptive SNR stepping increases SNR
+    assert ptype == "A"
+    assert recs[1][4] > recs[0][4]  # adaptive SNR stepping increases SNR
 
 
 def test_multiprocess_distributed_smoke():

@@ -1,0 +1,140 @@
+"""Results store + reference-format converter tests.
+
+Validates both tuple schemas found in the reference:
+  * the historical 10-field lines of ldpc_jossy/data/results.txt (with
+    ptype), parsed by src/results2csv.c:49-50
+  * the 9-field lines the current ldpc_jossy/py/ldpc_awgn.py:110-113 writes
+and the exact numeric CSV schema results2csv.c:62-72 emits (consumed by
+py/disp_res.py:23-44).
+"""
+
+import math
+
+import pytest
+
+from ldpc_sparc_tpu.io.results import (
+    FIELDS, ResultsStore, normalize_record, parse_tuple_line,
+    record_to_tuple_line, records_to_csv, results_txt_to_csv,
+    waterfall_metrics, plot_waterfalls, SHANNON_EBN0_DB)
+
+
+# First lines of the reference's archived data/results.txt (10-field schema)
+ARCHIVED_LINES = [
+    "('802.16', '1/2', 3, 'A', -2.8277568533786299, 100, 100, 3600, 1675, 20000)",
+    "('802.16', '3/4', 3, 'A', -0.66347569970478615, 100, 100, 5400, 1325, 20000)",
+    "('802.16', '2/3', 3, 'A', -1.3103816364765377, 100, 100, 4800, 1439, 20000)",
+]
+# The matching first lines of the reference's data/results.csv (the
+# results2csv.c output schema: std 16/11, decimal rate, ptype 0/1, ...)
+ARCHIVED_CSV = [
+    "16, 0.5, 0, 3, -2.82776, 100, 100, 3600, 1675, 20000",
+    "16, 0.75, 0, 3, -0.663476, 100, 100, 5400, 1325, 20000",
+    "16, 0.666667, 0, 3, -1.31038, 100, 100, 4800, 1439, 20000",
+]
+# What the current campaign driver writes (ldpc_awgn.py:110, 9 fields)
+MODERN_LINE = "('802.11n', '1/2', 27, 3.01, 128, 5, 41472, 57, 3200)"
+
+
+def test_parse_archived_10_field_lines():
+    for line in ARCHIVED_LINES:
+        rec = parse_tuple_line(line)
+        assert rec is not None and len(rec) == len(FIELDS) == 10
+    rec = parse_tuple_line(ARCHIVED_LINES[0])
+    assert rec[:4] == ("802.16", "1/2", 3, "A")
+    assert rec[5:] == (100, 100, 3600, 1675, 20000)
+
+
+def test_parse_modern_9_field_line_normalizes():
+    rec = parse_tuple_line(MODERN_LINE)
+    assert rec == ("802.11n", "1/2", 27, "A", 3.01, 128, 5, 41472, 57, 3200)
+
+
+def test_parse_rejects_garbage():
+    assert parse_tuple_line("not a tuple") is None
+    assert parse_tuple_line("(1, 2, 3)") is None
+    assert parse_tuple_line("") is None
+
+
+def test_tuple_line_roundtrip():
+    for line in ARCHIVED_LINES + [MODERN_LINE]:
+        rec = parse_tuple_line(line)
+        assert parse_tuple_line(record_to_tuple_line(rec)) == rec
+
+
+def test_reference_csv_schema_matches_archived():
+    """records_to_csv(style='reference') reproduces results2csv.c's output
+    on the reference's own archived measurements (modulo float printing
+    precision: %g on a parsed double vs the archived %lg of a %lf scan)."""
+    recs = [parse_tuple_line(l) for l in ARCHIVED_LINES]
+    got = records_to_csv(recs).strip().splitlines()
+    for got_line, want_line in zip(got, ARCHIVED_CSV):
+        g, w = got_line.split(", "), want_line.split(", ")
+        assert len(g) == len(w) == 10
+        # int fields exact
+        for i in (0, 2, 3, 5, 6, 7, 8, 9):
+            assert g[i] == w[i], (i, got_line, want_line)
+        # float fields to printed precision
+        assert math.isclose(float(g[1]), float(w[1]), abs_tol=1e-5)
+        assert math.isclose(float(g[4]), float(w[4]), abs_tol=1e-4)
+
+
+def test_named_csv_has_header():
+    recs = [parse_tuple_line(MODERN_LINE)]
+    out = records_to_csv(recs, style="named").splitlines()
+    assert out[0].split(",") == list(FIELDS)
+    assert len(out) == 2
+
+
+def test_results_txt_to_csv_end_to_end(tmp_path):
+    txt = tmp_path / "results.txt"
+    txt.write_text("\n".join(ARCHIVED_LINES + [MODERN_LINE]) + "\n")
+    csv_path = tmp_path / "results.csv"
+    out = results_txt_to_csv(txt, csv_path)
+    assert csv_path.read_text() == out
+    assert len(out.strip().splitlines()) == 4
+
+
+def test_waterfall_metrics_values():
+    m = waterfall_metrics(parse_tuple_line(ARCHIVED_LINES[0]))
+    assert m["ber"] == pytest.approx(1675 / 3600)
+    assert m["bler"] == pytest.approx(1.0)
+    assert m["avg_iters"] == pytest.approx(200.0)
+    # EbN0 = EsN0 - 10 log10(R)  (disp_res.py:44)
+    assert m["ebn0_db"] == pytest.approx(
+        -2.8277568533786299 - 10 * math.log10(0.5))
+    assert m["ptype"] == "A"
+
+
+def test_shannon_anchors():
+    assert SHANNON_EBN0_DB == {0.5: 3.1721, 0.667: 4.0926,
+                               0.75: 4.6693, 0.833: 5.3941}
+
+
+def test_normalize_record_rejects_wrong_arity():
+    with pytest.raises(ValueError):
+        normalize_record(("802.16", "1/2", 3))
+
+
+def test_results_store_resume(tmp_path):
+    path = tmp_path / "store.jsonl"
+    s1 = ResultsStore(path)
+    assert not s1.has("a")
+    s1.append("a", {"ber": 0.1})
+    s1.append("b", {"ber": 0.2})
+    # crash + resume: a fresh store sees both cells
+    s2 = ResultsStore(path)
+    assert s2.has("a") and s2.has("b")
+    assert s2.get("b")["ber"] == 0.2
+    # re-append overwrites the in-memory view (latest wins)
+    s2.append("a", {"ber": 0.05})
+    s3 = ResultsStore(path)
+    assert s3.get("a")["ber"] == 0.05
+    assert len(s3.records()) == 2
+
+
+def test_plot_waterfalls_both_formats(tmp_path):
+    recs = [parse_tuple_line(l) for l in ARCHIVED_LINES + [MODERN_LINE]]
+    png = plot_waterfalls(recs, tmp_path / "w.png")
+    assert (tmp_path / "w.png").exists()
+    pdf = plot_waterfalls(recs, tmp_path / "w.pdf")
+    assert (tmp_path / "w.pdf").exists()
