@@ -164,8 +164,12 @@ def cmd_concat_sweep(args):
 
 
 def cmd_results2csv(args):
-    from .io.results import results_txt_to_csv
-    out = results_txt_to_csv(args.input, args.output)
+    if args.native:
+        from .native.tools import results2csv_native
+        out = results2csv_native(args.input, args.output)
+    else:
+        from .io.results import results_txt_to_csv
+        out = results_txt_to_csv(args.input, args.output)
     if args.output is None:
         sys.stdout.write(out)
 
@@ -232,6 +236,9 @@ def main(argv=None):
                        help="convert reference results.txt to CSV")
     p.add_argument("input")
     p.add_argument("output", nargs="?", default=None)
+    p.add_argument("--native", action="store_true",
+                   help="use the native C++ converter "
+                        "(native/results2csv.cpp) instead of the Python one")
     p.set_defaults(fn=cmd_results2csv)
 
     args = ap.parse_args(argv)

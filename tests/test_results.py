@@ -132,6 +132,23 @@ def test_results_store_resume(tmp_path):
     assert len(s3.records()) == 2
 
 
+def test_native_results2csv_matches_python(tmp_path):
+    """The C++ converter (native/results2csv.cpp, the counterpart of the
+    reference's src/results2csv.c) is byte-identical to the Python one on
+    both tuple schemas."""
+    from ldpc_sparc_tpu.native.tools import results2csv_native
+    txt = tmp_path / "results.txt"
+    txt.write_text("\n".join(ARCHIVED_LINES + [MODERN_LINE]) + "\n")
+    native = results2csv_native(txt)
+    py = results_txt_to_csv(txt)
+    assert native == py
+    assert len(native.splitlines()) == 4
+    # file-output mode writes the same bytes
+    out = tmp_path / "results.csv"
+    assert results2csv_native(txt, out) == native
+    assert out.read_text() == native
+
+
 def test_plot_waterfalls_both_formats(tmp_path):
     recs = [parse_tuple_line(l) for l in ARCHIVED_LINES + [MODERN_LINE]]
     png = plot_waterfalls(recs, tmp_path / "w.png")
