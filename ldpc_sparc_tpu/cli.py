@@ -121,7 +121,8 @@ def cmd_ldpc_campaign(args):
 
 def cmd_concat_sweep(args):
     _init_jax(args)
-    from .config import (SparcParams, LdpcParams, DecodeParams, param_calc)
+    from .config import (SparcParams, LdpcParams, DecodeParams, param_calc,
+                         param_calc_semi_protected)
     from .models.ldpc import get_code
     from .models.concat import concat_sim
     from .io.results import ResultsStore, plot_ber_sweep
@@ -129,10 +130,18 @@ def cmd_concat_sweep(args):
     ldpc = LdpcParams(standard=args.standard, rate=args.rate, z=args.z)
     code = get_code(args.standard, args.rate, args.z)
     int_rate = ldpc.rate_float
-    rate, L_sparc, L_sparc_ldpc, lengths = param_calc(
-        args.mults, args.logM, ldpc, int_rate, args.R_sparc, code.K)
+    if args.semi_protected:
+        # the second config block of performance_plots_general.py:50-65
+        L_sparc, R_sparc_ldpc, L_sparc_ldpc, lengths, rate = \
+            param_calc_semi_protected(args.R_sparc, args.mults,
+                                      args.percent_protected, 2 ** args.logM,
+                                      ldpc, int_rate, code.K)
+    else:
+        rate, L_sparc, L_sparc_ldpc, lengths = param_calc(
+            args.mults, args.logM, ldpc, int_rate, args.R_sparc, code.K)
+        R_sparc_ldpc = args.R_sparc
     sp_plain = SparcParams(P=args.P, R=rate, L=L_sparc, M=2 ** args.logM)
-    sp_ldpc = SparcParams(P=args.P, R=args.R_sparc, L=L_sparc_ldpc,
+    sp_ldpc = SparcParams(P=args.P, R=R_sparc_ldpc, L=L_sparc_ldpc,
                           M=2 ** args.logM)
     decode = DecodeParams(t_max=args.t_max)
     decoders = args.decoders.split(",")
@@ -230,6 +239,10 @@ def main(argv=None):
     p.add_argument("--snr-stop", type=float, default=6.0)
     p.add_argument("--decoders",
                    default="amp_only,sequential,naive,integrated")
+    p.add_argument("--semi-protected", action="store_true",
+                   help="unprotected section prefix + LDPC-protected rest "
+                        "(performance_plots_general.py semi_protected=True)")
+    p.add_argument("--percent-protected", type=float, default=0.6)
     p.set_defaults(fn=cmd_concat_sweep)
 
     p = sub.add_parser("results2csv",

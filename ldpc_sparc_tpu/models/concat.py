@@ -191,6 +191,15 @@ class ConcatCodec:
                decode_params: DecodeParams, decoder: str = "sequential",
                bp_inner_iters: int = 6, bp_final_iters: int = 200):
         assert decoder in DECODERS
+        if self.ldpc_protected and self.lengths.L_unprotected:
+            # semi-protected messages: supported by the sequential decoder
+            # (as in the reference, sparc_new.py:66-71) and our interleaved
+            # extension; the integrated/rerun families require a fully
+            # protected message (they do in the reference too).
+            assert decoder in ("amp_only", "sequential", "naive",
+                               "naive_posteriors", "no_onsager"), (
+                f"decoder {decoder!r} requires a fully protected message "
+                f"(L_unprotected={self.lengths.L_unprotected})")
         fn = {
             "amp_only": self._decode_amp_only,
             "sequential": self._decode_sequential,
@@ -268,8 +277,15 @@ class ConcatCodec:
                             posteriors):
         """1 AMP step + `bi` BP iterations per step, final `bf`-iteration BP
         (naively_integrated_decoder, sparc_new.py:257-282; posteriors variant
-        :411-439; Onsager-free :230-255)."""
+        :411-439; Onsager-free :230-255).
+
+        Semi-protected extension (beyond the reference, whose interleaved
+        decoders assume a fully protected message): BP runs only on the
+        protected section suffix; the unprotected prefix keeps its MMSE
+        estimate per step and is MAP-decided at the end, like the sequential
+        decoder's handling (sparc_new.py:66-71)."""
         M = self.sparc.M
+        u_sec = self.lengths.L_unprotected * M if self.ldpc_protected else 0
         beta = jnp.zeros(self.sparc.L * M, jnp.float32)
         z = jnp.zeros_like(y)
         tau_sqr = jnp.asarray(1.0, jnp.float32)
@@ -278,17 +294,26 @@ class ConcatCodec:
             z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
                                            onsager=onsager)
             beta = self._mmse(s, tau_sqr)
-            bit_probs = section_probs_to_bit_probs(beta / self.c_amp, M)
+            un_beta, prot_beta = beta[:u_sec], beta[u_sec:]
+            bit_probs = section_probs_to_bit_probs(prot_beta / self.c_amp, M)
             if t != dp.t_max - 1:
                 post = self.ldpc_bp(bit_probs, bi, hard=False)
                 gamma = bit_probs_to_section_probs(post, M)
                 if posteriors:
-                    alpha = beta / self.c_amp
-                    beta = self.c_amp * combine_posteriors(alpha, gamma, M)
+                    alpha = prot_beta / self.c_amp
+                    prot_new = self.c_amp * combine_posteriors(alpha, gamma, M)
                 else:
-                    beta = self.c_amp * gamma
+                    prot_new = self.c_amp * gamma
+                beta = jnp.concatenate([un_beta, prot_new])
             else:
-                hard_bits = self.ldpc_bp(bit_probs, bf, hard=True)
+                prot_bits = self.ldpc_bp(bit_probs, bf, hard=True)
+                if u_sec:
+                    un_map = self._map(s)[:u_sec]
+                    un_bits = bitops.msg_vector_to_bits(
+                        un_map, M).astype(jnp.int32)
+                    hard_bits = jnp.concatenate([un_bits, prot_bits])
+                else:
+                    hard_bits = prot_bits
         return hard_bits
 
     def _decode_integrated(self, y, design, dp, bi, bf, *, posteriors):

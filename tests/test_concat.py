@@ -85,6 +85,35 @@ def test_unprotected_prefix_path():
     assert np.mean(bi[:u] != bo[:u]) < 0.15
 
 
+def test_unprotected_prefix_interleaved():
+    """Semi-protected extension of the interleaved family (beyond the
+    reference, whose naive decoder assumes a fully protected message,
+    sparc_new.py:257-282): BP runs on the protected suffix only, MAP
+    decides the unprotected prefix."""
+    ldpc = LdpcParams(standard="802.16", rate="1/2", z=12)
+    code = get_code("802.16", "1/2", 12)
+    from ldpc_sparc_tpu.config import ConcatLengths
+    L_un = 16
+    lengths = ConcatLengths(k_ldpc=code.K, mults=1, L_unprotected=L_un)
+    L_total = L_un + code.N // 2  # logM = 2
+    sp = SparcParams(P=19.44, R=1.0, L=L_total, M=4)
+    import numpy as np
+    for decoder in ("naive", "no_onsager"):
+        r = concat_sim(sp, ldpc, lengths, True, DecodeParams(t_max=10),
+                       awgn_var=19.44 / 8.0, seed=3, decoder=decoder)
+        bi, bo = np.asarray(r["bits_in"]), np.asarray(r["bits_out"])
+        assert bi.size == bo.size == code.K + L_un * 2
+        u = L_un * 2
+        assert np.array_equal(bi[u:], bo[u:]), \
+            f"{decoder}: protected bits must be exact"
+        assert np.mean(bi[:u] != bo[:u]) < 0.15
+    # integrated requires a fully protected message (as in the reference)
+    import pytest
+    with pytest.raises(AssertionError, match="fully protected"):
+        concat_sim(sp, ldpc, lengths, True, DecodeParams(t_max=4),
+                   awgn_var=19.44 / 8.0, seed=3, decoder="integrated")
+
+
 def test_ldpc_bool_false_plain_sparc_path():
     """Unprotected path (ldpc_bool=False, sparc_new.py:78-81). Plain SPARC
     with M=4 has a finite-length error floor (the very motivation for LDPC
