@@ -183,6 +183,15 @@ def cmd_results2csv(args):
         sys.stdout.write(out)
 
 
+def cmd_plot_results(args):
+    from .io.results import load_records, plot_waterfalls
+    records = load_records(args.input)
+    if not records:
+        raise SystemExit(f"no measurement records found in {args.input}")
+    plot_waterfalls(records, args.output)
+    print(json.dumps({"records": len(records), "out": args.output}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ldpc_sparc_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -253,6 +262,14 @@ def main(argv=None):
                    help="use the native C++ converter "
                         "(native/results2csv.cpp) instead of the Python one")
     p.set_defaults(fn=cmd_results2csv)
+
+    p = sub.add_parser("plot-results",
+                       help="waterfall plots from results.txt or results.csv "
+                            "(the reference's py/disp_res.py)")
+    p.add_argument("input", help="results.txt (tuple lines) or results.csv")
+    p.add_argument("output", nargs="?", default="waterfalls.pdf",
+                   help=".pdf = multi-page per (standard, rate); .png = grid")
+    p.set_defaults(fn=cmd_plot_results)
 
     args = ap.parse_args(argv)
     return args.fn(args)

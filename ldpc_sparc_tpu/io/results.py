@@ -159,6 +159,60 @@ def results_txt_to_csv(txt_path, csv_path=None,
     return records_to_csv(records, csv_path, style=style)
 
 
+_CSV_RATES = {0.5: "1/2", 2 / 3: "2/3", 0.75: "3/4", 5 / 6: "5/6"}
+
+
+def parse_csv_line(line: str) -> Optional[Tuple]:
+    """Parse one numeric CSV row (the results2csv.c:62-72 output schema that
+    py/disp_res.py:23-44 consumes) back into the 10-field tuple record.
+
+    The decimal rate is snapped to the nearest IEEE code rate (the four
+    rates of the 802.11n/802.16 standards are the only ones that exist)."""
+    parts = [p.strip() for p in line.strip().split(",")]
+    if len(parts) != 10:
+        return None
+    try:
+        std_num = int(parts[0])
+        rate_f = float(parts[1])
+        ptype_num = int(parts[2])
+        z = int(parts[3])
+        snr = float(parts[4])
+        ints = [int(p) for p in parts[5:]]
+    except ValueError:
+        return None
+    std = "802.16" if std_num == 16 else "802.11n"
+    rate = min(_CSV_RATES, key=lambda r: abs(r - rate_f))
+    return (std, _CSV_RATES[rate], z, "B" if ptype_num else "A", snr, *ints)
+
+
+def load_records(path) -> List[Tuple]:
+    """Read measurement records from a results file: tuple-line .txt
+    (either schema), the reference's numeric .csv, or our named-header
+    .csv — auto-detected per line."""
+    records = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.split(",")[0] == FIELDS[0]:
+                continue  # blank or named-CSV header
+            t = parse_tuple_line(line)
+            if t is None and not line.startswith("("):
+                parts = [p.strip() for p in line.split(",")]
+                if len(parts) == 10 and not parts[0].isdigit():
+                    # named-CSV row: FIELDS order, textual standard/rate
+                    try:
+                        t = normalize_record((
+                            parts[0], parts[1], int(parts[2]), parts[3],
+                            float(parts[4]), *[int(p) for p in parts[5:]]))
+                    except ValueError:
+                        t = None
+                else:
+                    t = parse_csv_line(line)
+            if t is not None:
+                records.append(t)
+    return records
+
+
 # --------------------------------------------------------------------------
 # derived metrics + plotting (disp_res.py:7-131 equivalents)
 # --------------------------------------------------------------------------

@@ -13,9 +13,9 @@ import math
 import pytest
 
 from ldpc_sparc_tpu.io.results import (
-    FIELDS, ResultsStore, normalize_record, parse_tuple_line,
-    record_to_tuple_line, records_to_csv, results_txt_to_csv,
-    waterfall_metrics, plot_waterfalls, SHANNON_EBN0_DB)
+    FIELDS, ResultsStore, load_records, normalize_record, parse_csv_line,
+    parse_tuple_line, record_to_tuple_line, records_to_csv,
+    results_txt_to_csv, waterfall_metrics, plot_waterfalls, SHANNON_EBN0_DB)
 
 
 # First lines of the reference's archived data/results.txt (10-field schema)
@@ -130,6 +130,36 @@ def test_results_store_resume(tmp_path):
     s3 = ResultsStore(path)
     assert s3.get("a")["ber"] == 0.05
     assert len(s3.records()) == 2
+
+
+def test_parse_csv_line_roundtrip():
+    """Numeric CSV rows (the disp_res.py input format) parse back to the
+    tuple records they came from, up to float printing precision."""
+    for txt_line, csv_line in zip(ARCHIVED_LINES, ARCHIVED_CSV):
+        want = parse_tuple_line(txt_line)
+        got = parse_csv_line(csv_line)
+        assert got[:4] == want[:4]
+        assert got[4] == pytest.approx(want[4], abs=1e-4)
+        assert got[5:] == want[5:]
+    assert parse_csv_line("1, 2, 3") is None
+    assert parse_csv_line("a, b, c, d, e, f, g, h, i, j") is None
+
+
+def test_load_records_all_formats(tmp_path):
+    """load_records auto-detects tuple .txt, numeric .csv, and named .csv."""
+    recs = [parse_tuple_line(l) for l in ARCHIVED_LINES + [MODERN_LINE]]
+    txt = tmp_path / "r.txt"
+    txt.write_text("\n".join(ARCHIVED_LINES + [MODERN_LINE]) + "\n")
+    ncsv = tmp_path / "r_num.csv"
+    records_to_csv(recs, ncsv, style="reference")
+    acsv = tmp_path / "r_named.csv"
+    records_to_csv(recs, acsv, style="named")
+    assert load_records(txt) == recs
+    assert load_records(acsv) == recs
+    num = load_records(ncsv)
+    assert [r[:4] + r[5:] for r in num] == [r[:4] + r[5:] for r in recs]
+    for a, b in zip(num, recs):
+        assert a[4] == pytest.approx(b[4], abs=1e-4)
 
 
 def test_native_results2csv_matches_python(tmp_path):
