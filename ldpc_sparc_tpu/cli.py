@@ -169,6 +169,17 @@ def cmd_concat_sweep(args):
             print(json.dumps(row))
     plot_ber_sweep([series[d] for d in decoders], decoders,
                    Path(args.out) / "concat_sweep.png")
+    if args.save_npz:
+        # the reference driver's snapshot layout
+        # (performance_plots_general.py:138-139): (num_sims, num_snrs) arrays
+        np.savez(args.save_npz,
+                 ber_store_averages=np.array(
+                     [[r["ber"] for r in series[d]] for d in decoders]),
+                 ber_store_max=np.array(
+                     [[r["ber_max"] for r in series[d]] for d in decoders]),
+                 ber_store_min=np.array(
+                     [[r["ber_min"] for r in series[d]] for d in decoders]),
+                 snr_store=snrs)
     return series
 
 
@@ -252,6 +263,9 @@ def main(argv=None):
                    help="unprotected section prefix + LDPC-protected rest "
                         "(performance_plots_general.py semi_protected=True)")
     p.add_argument("--percent-protected", type=float, default=0.6)
+    p.add_argument("--save-npz", default=None,
+                   help="also save the reference's Test_N.npz snapshot "
+                        "layout (performance_plots_general.py:138-139)")
     p.set_defaults(fn=cmd_concat_sweep)
 
     p = sub.add_parser("results2csv",
