@@ -59,8 +59,9 @@ def _next_pow2_at_least(x: int) -> int:
 
 
 def generate_block_randomness(W: np.ndarray, Mr: int, Mc: int, w: int,
-                              seed) -> Tuple[np.ndarray, np.ndarray,
-                                             np.ndarray, np.ndarray]:
+                              seed, offset: int = 1
+                              ) -> Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray]:
     """Per-nonzero-block randomness for the SRHT blocks.
 
     Blocks are visited row-major (the traversal order of `generate_ordering`,
@@ -78,20 +79,28 @@ def generate_block_randomness(W: np.ndarray, Mr: int, Mc: int, w: int,
     rng = np.random.default_rng(seed)
     Lr, Lc = W.shape
     small, large = min(Mr, Mc), max(Mr, Mc)
-    # Index candidates are restricted to [1, Q): two indices must differ in a
-    # bit that is DENSELY covered by the window [1, large+1), otherwise their
-    # Hadamard patterns over the window are near-identical (e.g. indices
-    # differing only in bit log2(large) share all but one window column —
-    # observed to break AMP). Bits 0..floor(log2(large))-1 each cover
-    # ~half the window, so Q = 2^floor(log2(large)) is safe; escalate only
-    # if the block needs more than Q-1 indices (square-ish blocks), which
-    # trades in a small fraction of weakly-covered index pairs.
-    Q = 1 << int(np.floor(np.log2(large)))
-    while Q <= small:
-        Q *= 2
-    Q = min(Q, w)
+    if offset == 0:
+        # full window [0, w): every distinct pair of Hadamard rows is exactly
+        # orthogonal over the whole row, so ALL indices (including 0, whose
+        # window pattern is the random sign diagonal itself) are candidates.
+        Q = w
+        base = np.arange(0, Q, dtype=np.int32)
+    else:
+        # Index candidates are restricted to [1, Q): two indices must differ
+        # in a bit that is DENSELY covered by the window [1, large+1),
+        # otherwise their Hadamard patterns over the window are
+        # near-identical (e.g. indices differing only in bit log2(large)
+        # share all but one window column — observed to break AMP). Bits
+        # 0..floor(log2(large))-1 each cover ~half the window, so
+        # Q = 2^floor(log2(large)) is safe; escalate only if the block needs
+        # more than Q-1 indices (square-ish blocks), which trades in a small
+        # fraction of weakly-covered index pairs.
+        Q = 1 << int(np.floor(np.log2(large)))
+        while Q <= small:
+            Q *= 2
+        Q = min(Q, w)
+        base = np.arange(1, Q, dtype=np.int32)
     rows, cols, idxs, sgns = [], [], [], []
-    base = np.arange(1, Q, dtype=np.int32)
     for r in range(Lr):
         for c in range(Lc):
             if W[r, c] != 0:
@@ -105,12 +114,14 @@ def generate_block_randomness(W: np.ndarray, Mr: int, Mc: int, w: int,
 
 def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
                w: int, in_dim: int, out_dim: int,
-               idx_side_is_input: bool) -> jnp.ndarray:
+               idx_side_is_input: bool, offset: int = 1) -> jnp.ndarray:
     """Batched per-block SRHT product, (E, in_dim) -> (E, out_dim).
 
     idx_side_is_input: whether the random index set addresses the input
     dimension (scatter in) or the output dimension (gather out). The other
-    side is the signed contiguous window [1, dim+1).
+    side is the signed contiguous window [offset, dim+offset) — offset 0 is
+    the full-width true-SRHT window used when the window side is itself a
+    power of two (halving w vs the offset-1 skip-row-0 layout).
     """
     E = vals.shape[0]
     if idx_side_is_input:
@@ -118,10 +129,17 @@ def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
         X = X.at[jnp.arange(E)[:, None], idx].set(
             vals, indices_are_sorted=True, unique_indices=True)
         Y = fwht(X)
-        return Y[:, 1:out_dim + 1] * signs.astype(vals.dtype)
+        if offset == 0 and out_dim == w:
+            win = Y
+        else:
+            win = Y[:, offset:out_dim + offset]
+        return win * signs.astype(vals.dtype)
     else:
         signed = vals * signs.astype(vals.dtype)
-        X = jnp.pad(signed, ((0, 0), (1, w - 1 - in_dim)))
+        if offset == 0 and in_dim == w:
+            X = signed
+        else:
+            X = jnp.pad(signed, ((0, 0), (offset, w - offset - in_dim)))
         Y = fwht(X)
         return Y.at[jnp.arange(E)[:, None], idx].get(
             indices_are_sorted=True, unique_indices=True)
@@ -153,12 +171,13 @@ class SparcDesign:
     w: int
     n: int
     LM: int
+    offset: int = 1
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         return ((self.idx, self.signs, self.scale),
                 (self.rows, self.cols, self.Lr, self.Lc, self.Mr, self.Mc,
-                 self.w, self.n, self.LM))
+                 self.w, self.n, self.LM, self.offset))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -182,12 +201,20 @@ class SparcDesign:
         assert n % Lr == 0, "Lr must divide n"
         assert (L * M) % Lc == 0, "Lc must divide L*M"
         Mr, Mc = n // Lr, (L * M) // Lc
-        w = _next_pow2_at_least(max(Mr + 1, Mc + 1))
-        rows, cols, idx, sgns = generate_block_randomness(W, Mr, Mc, w, seed)
+        large = max(Mr, Mc)
+        if large & (large - 1) == 0:
+            # window side is a power of two: full-width true-SRHT window,
+            # no skip of row 0 (the sign diagonal randomizes it) — halves
+            # the transform width vs next_pow2(large + 1)
+            w, offset = large, 0
+        else:
+            w, offset = _next_pow2_at_least(large + 1), 1
+        rows, cols, idx, sgns = generate_block_randomness(W, Mr, Mc, w, seed,
+                                                          offset)
         scale = np.sqrt(W[rows, cols] / L).astype(np.float32)
         return cls(jnp.asarray(idx), jnp.asarray(sgns), jnp.asarray(scale),
                    tuple(int(r) for r in rows), tuple(int(c) for c in cols),
-                   Lr, Lc, Mr, Mc, w, n, L * M)
+                   Lr, Lc, Mr, Mc, w, n, L * M, offset)
 
     @classmethod
     def for_params(cls, params: SparcParams, awgn_var: float, seed) -> "SparcDesign":
@@ -202,14 +229,16 @@ class SparcDesign:
     def _fwd_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
         """(E, Mc) column-block values -> (E, Mr) row-block contributions."""
         out = srht_apply(vals, self.idx, self.signs, self.w, self.Mc,
-                         self.Mr, idx_side_is_input=self.tall)
+                         self.Mr, idx_side_is_input=self.tall,
+                         offset=self.offset)
         return out * self.scale[:, None].astype(out.dtype)
 
     def _adj_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
         """(E, Mr) row-block values -> (E, Mc) column-block contributions
         (H symmetric: the adjoint swaps which side is scatter/gather)."""
         out = srht_apply(vals, self.idx, self.signs, self.w, self.Mr,
-                         self.Mc, idx_side_is_input=not self.tall)
+                         self.Mc, idx_side_is_input=not self.tall,
+                         offset=self.offset)
         return out * self.scale[:, None].astype(out.dtype)
 
     def ab(self, beta: jnp.ndarray) -> jnp.ndarray:
@@ -255,4 +284,5 @@ def build_batched_designs(W: np.ndarray, L: int, M: int, n: int, seed,
     return SparcDesign(jnp.stack([d.idx for d in designs]),
                        jnp.stack([d.signs for d in designs]),
                        d0.scale, d0.rows, d0.cols,
-                       d0.Lr, d0.Lc, d0.Mr, d0.Mc, d0.w, d0.n, d0.LM)
+                       d0.Lr, d0.Lc, d0.Mr, d0.Mc, d0.w, d0.n, d0.LM,
+                       d0.offset)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 # Largest Kronecker factor: 2^10 x 2^10 dense matmul tiles well on the MXU
 # while keeping the factor matrix (4 MB fp32) comfortably in VMEM.
-_MAX_LOG_FACTOR = 10
+_MAX_LOG_FACTOR = 7
 
 
 @functools.lru_cache(maxsize=None)
