@@ -187,6 +187,18 @@ class SparcDesign:
     def tall(self) -> bool:
         return self.Mr > self.Mc
 
+    def with_leaves(self, idx, signs, scale=None) -> "SparcDesign":
+        """Rebuild with replaced array leaves, carrying ALL static metadata.
+
+        Callers that stack/select design randomness (Monte-Carlo fan-out)
+        must use this instead of positional construction, so that future
+        field additions cannot silently desync (round-1 regression: a new
+        `offset` field defaulted to 1 while `w` was built for offset 0,
+        producing negative pad widths for power-of-two blocks)."""
+        leaves, aux = self.tree_flatten()
+        new_leaves = (idx, signs, leaves[2] if scale is None else scale)
+        return type(self).tree_unflatten(aux, new_leaves)
+
     # -- construction -------------------------------------------------------
     @classmethod
     def build(cls, W: np.ndarray, L: int, M: int, n: int, seed) -> "SparcDesign":
@@ -280,9 +292,5 @@ def build_batched_designs(W: np.ndarray, L: int, M: int, n: int, seed,
     idx/signs carry a leading batch axis; use with `jax.vmap` over the
     array leaves."""
     designs = [SparcDesign.build(W, L, M, n, (seed, b)) for b in range(batch)]
-    d0 = designs[0]
-    return SparcDesign(jnp.stack([d.idx for d in designs]),
-                       jnp.stack([d.signs for d in designs]),
-                       d0.scale, d0.rows, d0.cols,
-                       d0.Lr, d0.Lc, d0.Mr, d0.Mc, d0.w, d0.n, d0.LM,
-                       d0.offset)
+    return designs[0].with_leaves(jnp.stack([d.idx for d in designs]),
+                                  jnp.stack([d.signs for d in designs]))

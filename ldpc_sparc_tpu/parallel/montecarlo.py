@@ -12,10 +12,12 @@ loops of ldpc_sparc/performance_plots_general.py:101-118:
   * per-trial randomness is a fold_in of (device, trial) into one root key —
     deterministic and machine-count independent
 
-Each dp shard gets its own seeded design matrix (the reference draws a fresh
-A per run, performance_plots_general.py:102); trials within a shard share
-the design, which is statistically benign for BER averaging and keeps HBM
-footprint flat.
+Designs are drawn per *trial group* from the global trial index (the
+reference draws a fresh A per run, performance_plots_general.py:102):
+trial t uses design fold(seed, t // group_size). The stacked design leaves
+are replicated to every device and each trial selects its group's leaves,
+so the psum-reduced counters are EXACTLY independent of the mesh shape —
+the same partition-invariance bar parallel/sharded.py meets.
 """
 
 from __future__ import annotations
@@ -45,18 +47,21 @@ def _stack_designs(params: SparcParams, awgn_var: float, seed,
                    count: int) -> SparcDesign:
     designs = [SparcDesign.for_params(params, awgn_var, (seed, d))
                for d in range(count)]
-    d0 = designs[0]
-    return SparcDesign(
-        jnp.stack([d.idx for d in designs]),
-        jnp.stack([d.signs for d in designs]),
-        d0.scale, d0.rows, d0.cols, d0.Lr, d0.Lc, d0.Mr, d0.Mc,
-        d0.w, d0.n, d0.LM)
+    return designs[0].with_leaves(jnp.stack([d.idx for d in designs]),
+                                  jnp.stack([d.signs for d in designs]))
 
 
 def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
                     awgn_var: float, seed, n_trials: int,
-                    mesh: Optional[jax.sharding.Mesh] = None) -> Dict[str, np.ndarray]:
+                    mesh: Optional[jax.sharding.Mesh] = None,
+                    n_designs: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Run n_trials independent SPARC encode->AWGN->AMP->count trials.
+
+    Trial t gets key fold(seed, t) and design (seed, t // group) where
+    group = n_trials / n_designs — both functions of the GLOBAL trial index
+    only, so the reduced counters are bit-identical on any mesh shape.
+    The n_designs stacked design leaves are replicated across devices
+    (P() spec); each vmapped trial gathers its group's leaves.
 
     Returns psum-reduced counters: bit_errs, bits, frame_errs, frames,
     sec_errs, sections, iters.
@@ -66,12 +71,16 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         mesh = make_mesh(sec=1)
     n_dp = mesh.shape["dp"]
     assert n_trials % n_dp == 0, "n_trials must divide evenly over dp"
-    local_trials = n_trials // n_dp
+    if n_designs is None:
+        n_designs = min(8, n_trials)
+    assert n_trials % n_designs == 0, "n_designs must divide n_trials"
+    group = n_trials // n_designs
 
-    designs = _stack_designs(params, awgn_var, seed, n_dp)
+    designs = _stack_designs(params, awgn_var, seed, n_designs)
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
         jnp.arange(n_trials))
+    didx = jnp.arange(n_trials, dtype=jnp.int32) // group
 
     M, K, L = params.M, params.K, params.L
 
@@ -88,20 +97,20 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
             (res.beta != beta0).reshape(L, M), axis=1))
         return bit_errs, sec_errs, res.t_final
 
-    def shard_fn(keys_local, idx, signs):
-        d = SparcDesign(idx[0], signs[0], designs.scale, designs.rows,
-                        designs.cols, designs.Lr, designs.Lc, designs.Mr,
-                        designs.Mc, designs.w, designs.n, designs.LM)
-        be, se, it = jax.vmap(lambda k: one_trial(k, d))(keys_local)
+    def shard_fn(keys_local, didx_local, idx, signs):
+        def per_trial(key, di):
+            d = designs.with_leaves(idx[di], signs[di])
+            return one_trial(key, d)
+        be, se, it = jax.vmap(per_trial)(keys_local, didx_local)
         out = jnp.stack([jnp.sum(be), jnp.sum(se), jnp.sum(be > 0),
                          jnp.sum(it)])
         return jax.lax.psum(out, "dp")[None]
 
     fn = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh, check_vma=False,
-        in_specs=(P("dp"), P("dp", None, None), P("dp", None, None)),
+        in_specs=(P("dp"), P("dp"), P(), P()),
         out_specs=P("dp")))
-    res = fn(keys, designs.idx, designs.signs)
+    res = fn(keys, didx, designs.idx, designs.signs)
     # rows are psum-replicated; in multi-process runs only local shards are
     # addressable, and any one row carries the global counts
     out = np.asarray(res.addressable_shards[0].data)[0]

@@ -93,7 +93,7 @@ def test_lxor_lxfb_vs_oracle():
     rng = np.random.default_rng(1)
     for correct in (0, 1):
         a, b = rng.normal(0, 4, 2)
-        got = float(lxor(jnp.float64(a), jnp.float64(b), bool(correct)))
+        got = float(lxor(jnp.float32(a), jnp.float32(b), bool(correct)))
         want = oracle.lxor(a, b, correct)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
         L = rng.normal(0, 4, 7)
