@@ -38,6 +38,16 @@ def _init_jax(args):
     return jax
 
 
+def _config_key(**fields) -> str:
+    """Short stable hash of the full sweep configuration, used in resume
+    keys so that re-running a *different* config into the same --out dir
+    measures fresh points instead of silently returning stale rows."""
+    import hashlib
+    blob = json.dumps({k: repr(v) for k, v in sorted(fields.items())},
+                      sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def cmd_sparc_sweep(args):
     _init_jax(args)
     from .config import SparcParams, DecodeParams
@@ -55,9 +65,13 @@ def cmd_sparc_sweep(args):
     decode = DecodeParams(t_max=args.t_max)
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
     store = ResultsStore(Path(args.out) / "sparc_sweep.jsonl")
+    # resume key carries the FULL config (params + decode + trial count):
+    # a changed config in the same --out dir must measure fresh points
+    cfg_key = _config_key(params=params, t_max=args.t_max,
+                          trials=args.trials)
     rows = []
     for snr in snrs:
-        key = f"sparc:L{args.L}:M{args.M}:R{args.R}:snr{snr:.3f}:s{args.seed}"
+        key = f"sparc:{cfg_key}:snr{snr:.3f}:s{args.seed}"
         if store.has(key):
             rows.append(store.get(key))
             continue
@@ -124,7 +138,7 @@ def cmd_concat_sweep(args):
     from .config import (SparcParams, LdpcParams, DecodeParams, param_calc,
                          param_calc_semi_protected)
     from .models.ldpc import get_code
-    from .models.concat import concat_sim
+    from .parallel.montecarlo import concat_ber_point
     from .io.results import ResultsStore, plot_ber_sweep
 
     ldpc = LdpcParams(standard=args.standard, rate=args.rate, z=args.z)
@@ -147,23 +161,24 @@ def cmd_concat_sweep(args):
     decoders = args.decoders.split(",")
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
     store = ResultsStore(Path(args.out) / "concat_sweep.jsonl")
+    cfg_key = _config_key(ldpc=ldpc, sp_plain=sp_plain, sp_ldpc=sp_ldpc,
+                          lengths=lengths, t_max=args.t_max, runs=args.runs,
+                          semi=args.semi_protected)
     series = {d: [] for d in decoders}
     for snr in snrs:
         awgn_var = args.P / snr
         for d in decoders:
-            key = f"concat:{d}:snr{snr:.3f}:s{args.seed}"
+            key = f"concat:{cfg_key}:{d}:snr{snr:.3f}:s{args.seed}"
             if store.has(key):
                 series[d].append(store.get(key))
                 continue
-            bers = []
-            for run in range(args.runs):
-                sp = sp_plain if d == "amp_only" else sp_ldpc
-                r = concat_sim(sp, ldpc, lengths, d != "amp_only", decode,
-                               awgn_var, (args.seed, run), decoder=d)
-                bers.append(float(r["ber"]))
-            row = {"snr_db": float(snr), "ber": float(np.mean(bers)),
-                   "ber_min": float(np.min(bers)),
-                   "ber_max": float(np.max(bers)), "decoder": d}
+            sp = sp_plain if d == "amp_only" else sp_ldpc
+            # the whole runs-batch is one vmapped + dp-sharded device
+            # program (parallel/montecarlo.py:concat_mc_trial_errors)
+            row = concat_ber_point(sp, ldpc, lengths, d != "amp_only",
+                                   decode, awgn_var, (args.seed, 0),
+                                   n_trials=args.runs, decoder=d)
+            row.update({"snr_db": float(snr), "decoder": d})
             store.append(key, row)
             series[d].append(row)
             print(json.dumps(row))

@@ -294,15 +294,28 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
 def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     """Multi-decoder BER sweep plot (performance_plots_general.py:141-155).
 
-    rows: list (one per decoder) of lists of dicts with 'snr_db' and 'ber'.
+    rows: list (one per decoder) of lists of dicts with 'snr_db' and 'ber';
+    rows that also carry 'ber_min'/'ber_max' get the reference's asymmetric
+    min/max error bars (performance_plots_general.py:141-155).
     """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(10, 4))
+    floor = 1e-9
     for series, label in zip(rows, labels):
-        ax.semilogy([r["snr_db"] for r in series],
-                    [max(r["ber"], 1e-9) for r in series], "o-", label=label)
+        snr = [r["snr_db"] for r in series]
+        ber = [max(r["ber"], floor) for r in series]
+        if series and "ber_min" in series[0] and "ber_max" in series[0]:
+            lo = [max(b - max(r["ber_min"], floor), 0.0)
+                  for r, b in zip(series, ber)]
+            hi = [max(max(r["ber_max"], floor) - b, 0.0)
+                  for r, b in zip(series, ber)]
+            ax.errorbar(snr, ber, yerr=[lo, hi], fmt="o-", capsize=3,
+                        label=label)
+            ax.set_yscale("log")
+        else:
+            ax.semilogy(snr, ber, "o-", label=label)
     ax.set_xlabel("SNR")
     ax.set_ylabel("BER")
     ax.set_title(title)

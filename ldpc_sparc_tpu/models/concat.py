@@ -283,105 +283,133 @@ class ConcatCodec:
         decoders assume a fully protected message): BP runs only on the
         protected section suffix; the unprotected prefix keeps its MMSE
         estimate per step and is MAP-decided at the end, like the sequential
-        decoder's handling (sparc_new.py:66-71)."""
+        decoder's handling (sparc_new.py:66-71).
+
+        The t_max-1 soft iterations are a `lax.scan` (compile time flat in
+        t_max; the reference unrolls its Python loop, sparc_new.py:257-282)
+        with the final hard-decision iteration peeled."""
         M = self.sparc.M
         u_sec = self.lengths.L_unprotected * M if self.ldpc_protected else 0
-        beta = jnp.zeros(self.sparc.L * M, jnp.float32)
-        z = jnp.zeros_like(y)
-        tau_sqr = jnp.asarray(1.0, jnp.float32)
-        hard_bits = None
-        for t in range(dp.t_max):
+
+        def body(carry, _):
+            beta, z, tau_sqr = carry
             z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
                                            onsager=onsager)
             beta = self._mmse(s, tau_sqr)
             un_beta, prot_beta = beta[:u_sec], beta[u_sec:]
             bit_probs = section_probs_to_bit_probs(prot_beta / self.c_amp, M)
-            if t != dp.t_max - 1:
-                post = self.ldpc_bp(bit_probs, bi, hard=False)
-                gamma = bit_probs_to_section_probs(post, M)
-                if posteriors:
-                    alpha = prot_beta / self.c_amp
-                    prot_new = self.c_amp * combine_posteriors(alpha, gamma, M)
-                else:
-                    prot_new = self.c_amp * gamma
-                beta = jnp.concatenate([un_beta, prot_new])
+            post = self.ldpc_bp(bit_probs, bi, hard=False)
+            gamma = bit_probs_to_section_probs(post, M)
+            if posteriors:
+                alpha = prot_beta / self.c_amp
+                prot_new = self.c_amp * combine_posteriors(alpha, gamma, M)
             else:
-                prot_bits = self.ldpc_bp(bit_probs, bf, hard=True)
-                if u_sec:
-                    un_map = self._map(s)[:u_sec]
-                    un_bits = bitops.msg_vector_to_bits(
-                        un_map, M).astype(jnp.int32)
-                    hard_bits = jnp.concatenate([un_bits, prot_bits])
-                else:
-                    hard_bits = prot_bits
-        return hard_bits
+                prot_new = self.c_amp * gamma
+            beta = jnp.concatenate([un_beta, prot_new])
+            return (beta, z, tau_sqr), None
+
+        init = (jnp.zeros(self.sparc.L * M, jnp.float32), jnp.zeros_like(y),
+                jnp.asarray(1.0, jnp.float32))
+        (beta, z, tau_sqr), _ = jax.lax.scan(body, init, None,
+                                             length=dp.t_max - 1)
+        # peeled final iteration: AMP step, then the bf-iteration hard BP
+        z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
+                                       onsager=onsager)
+        beta = self._mmse(s, tau_sqr)
+        bit_probs = section_probs_to_bit_probs(beta[u_sec:] / self.c_amp, M)
+        prot_bits = self.ldpc_bp(bit_probs, bf, hard=True)
+        if u_sec:
+            un_map = self._map(s)[:u_sec]
+            un_bits = bitops.msg_vector_to_bits(un_map, M).astype(jnp.int32)
+            return jnp.concatenate([un_bits, prot_bits])
+        return prot_bits
 
     def _decode_integrated(self, y, design, dp, bi, bf, *, posteriors):
         """BP inside the AMP denoiser with the generalized Onsager term from
         the derivative of the BP-composed denoiser (integrated_decoder,
         sparc_new.py:472-502; eta 4-step pipeline :709-735; posteriors
-        variant :675-705, :793-822, :843-869)."""
+        variant :675-705, :793-822, :843-869).
+
+        The t_max-1 eta iterations are a `lax.scan` (compile time flat in
+        t_max; the reference unrolls, sparc_new.py:489) with the final
+        hard-decision iteration peeled."""
         M = self.sparc.M
         L = self.sparc.L
-        beta = jnp.zeros(L * M, jnp.float32)
-        z = jnp.zeros_like(y)
-        tau_sqr = jnp.asarray(1.0, jnp.float32)
-        deta_sum = jnp.asarray(0.0, jnp.float32)
-        alpha = vk = vk0 = gamma = None
-        hard_bits = None
-        for t in range(dp.t_max):
-            z, s, tau_sqr_new = self._amp_step(design, y, beta, z, tau_sqr,
-                                               onsager="deta",
-                                               deta_sum=deta_sum)
-            tau_sqr = tau_sqr_new
-            if t != dp.t_max - 1:
-                # eta: MMSE -> bit probs -> BP -> section estimate
-                weighted_alpha = self._mmse(s, tau_sqr)
-                alpha = weighted_alpha / self.c_amp
-                vk0 = section_probs_to_bit_probs(alpha, M)
-                vk = self.ldpc_bp(vk0, bi, hard=False)
-                gamma = bit_probs_to_section_probs(vk, M)
-                if posteriors:
-                    beta_probs = combine_posteriors(alpha, gamma, M)
-                    beta = self.c_amp * beta_probs
-                    deta = self._deta_posteriors(alpha, gamma, vk, vk0,
-                                                 tau_sqr, M)
-                else:
-                    beta = self.c_amp * gamma
-                    deta = self.c_amp * integrated_onsager_derivative(
-                        alpha, vk, vk0, gamma, tau_sqr, M, self.c_amp)
-                deta_sum = jnp.sum(deta)
+
+        def body(carry, _):
+            beta, z, tau_sqr, deta_sum = carry
+            z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
+                                           onsager="deta", deta_sum=deta_sum)
+            # eta: MMSE -> bit probs -> BP -> section estimate
+            weighted_alpha = self._mmse(s, tau_sqr)
+            alpha = weighted_alpha / self.c_amp
+            vk0 = section_probs_to_bit_probs(alpha, M)
+            vk = self.ldpc_bp(vk0, bi, hard=False)
+            gamma = bit_probs_to_section_probs(vk, M)
+            if posteriors:
+                beta_probs = combine_posteriors(alpha, gamma, M)
+                beta = self.c_amp * beta_probs
+                deta = self._deta_posteriors(alpha, gamma, vk, vk0,
+                                             tau_sqr, M)
             else:
-                weighted_alpha = self._mmse(s, tau_sqr)
-                vk0 = section_probs_to_bit_probs(weighted_alpha / self.c_amp, M)
-                hard_bits = self.ldpc_bp(vk0, bf, hard=True)
-        return hard_bits
+                beta = self.c_amp * gamma
+                deta = self.c_amp * integrated_onsager_derivative(
+                    alpha, vk, vk0, gamma, tau_sqr, M, self.c_amp)
+            return (beta, z, tau_sqr, jnp.sum(deta)), None
+
+        init = (jnp.zeros(L * M, jnp.float32), jnp.zeros_like(y),
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+        (beta, z, tau_sqr, deta_sum), _ = jax.lax.scan(body, init, None,
+                                                       length=dp.t_max - 1)
+        # peeled final iteration: AMP step, MMSE, bf-iteration hard BP
+        z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
+                                       onsager="deta", deta_sum=deta_sum)
+        weighted_alpha = self._mmse(s, tau_sqr)
+        vk0 = section_probs_to_bit_probs(weighted_alpha / self.c_amp, M)
+        return self.ldpc_bp(vk0, bf, hard=True)
 
     # ------------------------------------------------------------------
     # instrumentation (the reference's *_test decoder family)
     # ------------------------------------------------------------------
+    def ldpc_bp_traced(self, bit_probs: jnp.ndarray, num_its: int):
+        """Blockwise BP returning the posterior P(bit=0) after EVERY BP
+        iteration: (num_its, nbits). Per-BP-iteration probe semantics of the
+        reference's schedule-debugging instrumentation (ldpc_bp_test,
+        sparc_new.py:1195-1232)."""
+        from ..ops.bp import bp_decode_trace
+        eps = 1e-7
+        p = jnp.clip(bit_probs, eps, 1 - eps)
+        llr = jnp.log(p) - jnp.log1p(-p)
+        nblocks = llr.size // self.code.N
+        traj, _ = bp_decode_trace(
+            llr.reshape(nblocks, self.code.N).astype(jnp.float32),
+            self.code.graph, num_iters=num_its, method="sumprod")
+        return jax.nn.sigmoid(traj).reshape(num_its, -1)
+
     def decode_instrumented(self, y, design, decode_params,
-                            decoder: str = "naive", bp_inner_iters: int = 6):
+                            decoder: str = "naive", bp_inner_iters: int = 6,
+                            trace_inner_bp: bool = False):
         """Per-iteration user-bit BER probes.
 
         One implementation replaces the reference's ~8 hand-copied
         instrumented variants (naively_integrated_test_2/3/4,
         integrated_decoder_test/_2, sparc_new.py:314-409,573-641): at every
         AMP iteration, record hard user-bit decisions (a) after the MMSE
-        step ('pre_bp') and (b) after the inner BP pass ('post_bp').
+        step ('pre_bp') and (b) after the inner BP pass ('post_bp'). With
+        trace_inner_bp=True, also record decisions after EVERY BP iteration
+        within each AMP iteration ('inner_bp', the per-BP-iteration probes
+        of ldpc_bp_test, sparc_new.py:1195-1232).
 
-        Returns dict with 'pre_bp' and 'post_bp' arrays of shape
-        (t_max, user_bits) of decided bits.
+        The probe loop is a `lax.scan` over AMP iterations; returns a dict
+        with 'pre_bp'/'post_bp' (t_max, user_bits) and, when traced,
+        'inner_bp' (t_max, bp_inner_iters, user_bits).
         """
         assert decoder in ("naive", "no_onsager", "integrated")
         M = self.sparc.M
         dp = decode_params
-        beta = jnp.zeros(self.sparc.L * M, jnp.float32)
-        z = jnp.zeros_like(y)
-        tau_sqr = jnp.asarray(1.0, jnp.float32)
-        deta_sum = jnp.asarray(0.0, jnp.float32)
-        pre, post = [], []
-        for t in range(dp.t_max):
+
+        def body(carry, _):
+            beta, z, tau_sqr, deta_sum = carry
             if decoder == "integrated":
                 z, s, tau_sqr = self._amp_step(design, y, beta, z, tau_sqr,
                                                onsager="deta",
@@ -393,16 +421,31 @@ class ConcatCodec:
             weighted_alpha = self._mmse(s, tau_sqr)
             alpha = weighted_alpha / self.c_amp
             vk0 = section_probs_to_bit_probs(alpha, M)
-            pre.append(self._hard_user_bits(vk0))
-            vk = self.ldpc_bp(vk0, bp_inner_iters, hard=False)
-            post.append(self._hard_user_bits(vk))
+            pre = self._hard_user_bits(vk0)
+            if trace_inner_bp:
+                traj = self.ldpc_bp_traced(vk0, bp_inner_iters)
+                vk = traj[-1]
+                inner = jax.vmap(self._hard_user_bits)(traj)
+            else:
+                vk = self.ldpc_bp(vk0, bp_inner_iters, hard=False)
+                inner = None
+            post = self._hard_user_bits(vk)
             gamma = bit_probs_to_section_probs(vk, M)
             beta = self.c_amp * gamma
             if decoder == "integrated":
                 deta = self.c_amp * integrated_onsager_derivative(
                     alpha, vk, vk0, gamma, tau_sqr, M, self.c_amp)
                 deta_sum = jnp.sum(deta)
-        return {"pre_bp": jnp.stack(pre), "post_bp": jnp.stack(post)}
+            probes = (pre, post) if inner is None else (pre, post, inner)
+            return (beta, z, tau_sqr, deta_sum), probes
+
+        init = (jnp.zeros(self.sparc.L * M, jnp.float32), jnp.zeros_like(y),
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+        _, probes = jax.lax.scan(body, init, None, length=dp.t_max)
+        out = {"pre_bp": probes[0], "post_bp": probes[1]}
+        if trace_inner_bp:
+            out["inner_bp"] = probes[2]
+        return out
 
     def _hard_user_bits(self, bit_probs):
         """P(bit=0) probabilities -> hard user-bit decisions (first K of

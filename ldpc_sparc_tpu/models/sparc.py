@@ -229,10 +229,17 @@ def _sim_core(key: jax.Array, design: SparcDesign, W: jnp.ndarray,
                "nmse": res.nmse, "detect": detect}
     if not params.modulated:
         err, ser = section_errors(beta0, res.beta, params.L)
-        results.update({"ser": ser, "num_of_sec_errs": jnp.sum(err)})
+        results.update({"ser": ser, "num_of_sec_errs": jnp.sum(err),
+                        "_sec_err_ind": err})
     else:
-        (ler, ver, ser), _ = location_value_errors(beta0, res.beta, params.L)
-        results.update({"ser": ser, "ler": ler, "ver": ver})
+        (ler, ver, ser), (loc_e, val_e, sec_e) = \
+            location_value_errors(beta0, res.beta, params.L)
+        results.update({"ser": ser, "ler": ler, "ver": ver,
+                        "num_of_sec_errs": jnp.sum(sec_e),
+                        "num_of_loc_errs": jnp.sum(loc_e),
+                        "num_of_val_errs": jnp.sum(val_e),
+                        "_sec_err_ind": sec_e, "_loc_err_ind": loc_e,
+                        "_val_err_ind": val_e})
     return results
 
 
@@ -241,9 +248,21 @@ def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
     """End-to-end single-trial simulation (sparc_public/sparc_sim.py:8-58).
 
     Returns the reference's metric dict: ber, cer, t_final, nmse, detect,
-    plus section-error metrics.
+    section-error metrics, plus the error-location diagnostics
+    (loc_of_sec_errs and, for modulated codes, loc_of_loc_errs /
+    loc_of_val_errs — sparc_sim.py:30-51): index arrays of the sections
+    that decoded wrong, used to study where PA/SC codes fail along the
+    section axis. Inside jit these are fixed-size indicator arrays; here
+    they are converted to the reference's index-array surface.
     """
     key = rngmod.root_key(seed)
     design = SparcDesign.for_params(params, awgn_var, seed)
     W = jnp.asarray(create_base_matrix(params, awgn_var), jnp.float32)
-    return _sim_core(key, design, W, params, decode, jnp.float32(awgn_var))
+    results = dict(_sim_core(key, design, W, params, decode,
+                             jnp.float32(awgn_var)))
+    for ind, loc in (("_sec_err_ind", "loc_of_sec_errs"),
+                     ("_loc_err_ind", "loc_of_loc_errs"),
+                     ("_val_err_ind", "loc_of_val_errs")):
+        if ind in results:
+            results[loc] = np.flatnonzero(np.asarray(results.pop(ind)))
+    return results

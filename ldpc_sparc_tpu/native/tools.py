@@ -26,6 +26,37 @@ def build_results2csv() -> Path:
     return _BIN
 
 
+_SELFTEST_SRC = _HERE / "bp_selftest.cpp"
+_SELFTEST_BIN = _HERE / "build" / "bp_selftest"
+
+
+def build_bp_selftest() -> Path:
+    """Compile the standalone BP-kernel self-test (bp_selftest.cpp + the
+    oracle translation unit) if missing/stale; return the binary path.
+
+    The native counterpart of the reference kernel's __DEBUG__ BSC
+    self-test main (ldpc_jossy/src/c_ldpc.c:404-449)."""
+    deps = [_SELFTEST_SRC, _HERE / "bp_ref.cpp",
+            _HERE / "bp_selftest_data.h"]
+    _SELFTEST_BIN.parent.mkdir(exist_ok=True)
+    if (not _SELFTEST_BIN.exists()) or any(
+            s.stat().st_mtime > _SELFTEST_BIN.stat().st_mtime for s in deps):
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-o", str(_SELFTEST_BIN),
+             str(_SELFTEST_SRC), str(_HERE / "bp_ref.cpp")],
+            check=True, capture_output=True)
+    return _SELFTEST_BIN
+
+
+def run_bp_selftest() -> str:
+    """Build + run the standalone self-test; returns its stdout (raises on
+    a FAIL exit code)."""
+    binary = build_bp_selftest()
+    proc = subprocess.run([str(binary)], check=True, capture_output=True,
+                          text=True)
+    return proc.stdout
+
+
 def results2csv_native(txt_path, csv_path: Optional[Path] = None) -> str:
     """Run the native converter on ``txt_path``; return the CSV text.
 

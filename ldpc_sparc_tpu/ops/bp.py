@@ -151,20 +151,13 @@ class BpResult(NamedTuple):
     iterations: jnp.ndarray  # (...,)   iterations until parity satisfied
 
 
-def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
-                  correction: bool, corr_factor: float) -> BpResult:
-    """Batched BP with the codeword batch on the LAST (lane) axis.
-
-    ch: (B, Nv). Internally everything is (..., z, B): the batch rides the
-    TPU's 128-wide vector lanes while z sits on sublanes — all message
-    updates are elementwise over full vectors, and the z-axis permutations /
-    edge gathers move whole lanes. (A batch-first layout puts z=27..81 on
-    the lanes and pads 4-5x, which also exploded TPU compile times.)
-    """
+def _make_bp_iter(ch_blocks, g: TannerGraph, correction: bool, corr_factor):
+    """Build the single-BP-iteration body over (Np, z, B) lane-batched
+    state. Shared by the while_loop decoder (`_decode_lanes`) and the
+    fixed-length traced decoder (`_decode_lanes_trace`)."""
     z, E, Mp, Np = g.z, g.E, g.Mp, g.Np
-    B = ch.shape[0]
-    dtype = ch.dtype
-    ch_blocks = jnp.moveaxis(ch.reshape(B, Np, z), 0, -1)   # (Np, z, B)
+    B = ch_blocks.shape[-1]
+    dtype = ch_blocks.dtype
     edge_col = jnp.asarray(g.edge_col)
     to_var = jnp.asarray(g.to_var)[:, :, None]              # (E, z, 1)
     to_chk = jnp.asarray(g.to_chk)[:, :, None]
@@ -205,16 +198,59 @@ def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
                 jnp.where(done | parity_ok, it, it + 1),
                 done | parity_ok)
 
-    init = (jnp.int32(0), jnp.zeros((E, z, B), dtype),
-            jnp.zeros((Np, z, B), dtype),
+    return one_iter
+
+
+def _bp_init(ch_blocks, g: TannerGraph, B: int):
+    return (jnp.int32(0), jnp.zeros((g.E, g.z, B), ch_blocks.dtype),
+            jnp.zeros((g.Np, g.z, B), ch_blocks.dtype),
             jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+
+
+def _decode_lanes(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
+                  correction: bool, corr_factor: float) -> BpResult:
+    """Batched BP with the codeword batch on the LAST (lane) axis.
+
+    ch: (B, Nv). Internally everything is (..., z, B): the batch rides the
+    TPU's 128-wide vector lanes while z sits on sublanes — all message
+    updates are elementwise over full vectors, and the z-axis permutations /
+    edge gathers move whole lanes. (A batch-first layout puts z=27..81 on
+    the lanes and pads 4-5x, which also exploded TPU compile times.)
+    """
+    B = ch.shape[0]
+    ch_blocks = jnp.moveaxis(ch.reshape(B, g.Np, g.z), 0, -1)  # (Np, z, B)
+    one_iter = _make_bp_iter(ch_blocks, g, correction, corr_factor)
     # while_loop: stop as soon as every codeword satisfies parity (the C
     # kernel's break, c_ldpc.c:104-106)
     _, c2v, app, it, done = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[0] < max_iters, ~jnp.all(c[-1])),
-        one_iter, init)
-    return BpResult(app=jnp.moveaxis(app, -1, 0).reshape(B, Np * z),
+        one_iter, _bp_init(ch_blocks, g, B))
+    return BpResult(app=jnp.moveaxis(app, -1, 0).reshape(B, g.Np * g.z),
                     iterations=it)
+
+
+def _decode_lanes_trace(ch: jnp.ndarray, g: TannerGraph, num_iters: int,
+                        correction: bool, corr_factor: float):
+    """Fixed-length BP recording the APP LLRs after EVERY iteration.
+
+    Returns (app_traj (num_iters, B, Nv), iterations (B,)). Same per-
+    iteration math and same parity-freeze semantics as `_decode_lanes`
+    (a frozen codeword keeps repeating its converged APP in the trace);
+    the per-BP-iteration probe the reference's instrumented decoders used
+    for schedule debugging (ldpc_bp_test, sparc_new.py:1195-1232)."""
+    B = ch.shape[0]
+    ch_blocks = jnp.moveaxis(ch.reshape(B, g.Np, g.z), 0, -1)  # (Np, z, B)
+    one_iter = _make_bp_iter(ch_blocks, g, correction, corr_factor)
+
+    def body(carry, _):
+        carry = one_iter(carry)
+        return carry, carry[2]                         # app after this iter
+
+    carry, app_traj = jax.lax.scan(body, _bp_init(ch_blocks, g, B),
+                                   None, length=num_iters)
+    app_traj = jnp.moveaxis(app_traj, -1, 1).reshape(num_iters, B,
+                                                     g.Np * g.z)
+    return app_traj, carry[3]
 
 
 # kept as the name used by single-codeword callers
@@ -227,6 +263,25 @@ def _decode_single(ch: jnp.ndarray, g: TannerGraph, max_iters: int,
 @partial(jax.jit, static_argnames=("g", "max_iters", "correction"))
 def _decode_batch_jit(ch, g, max_iters, correction, corr_factor):
     return _decode_lanes(ch, g, max_iters, correction, corr_factor)
+
+
+def bp_decode_trace(ch: jnp.ndarray, graph: TannerGraph, num_iters: int,
+                    method: str = "sumprod", corr_factor: float = 0.7):
+    """Decode channel LLRs, recording the APP after every BP iteration.
+
+    ch: (..., Nv). Returns (app_traj (num_iters, ..., Nv), iterations (...))
+    — app_traj[j] is the a-posteriori state after iteration j+1, with
+    parity-converged codewords frozen (identical semantics to `bp_decode`;
+    app_traj[-1] equals bp_decode(...).app whenever num_iters >= the
+    convergence iteration)."""
+    assert method in ("sumprod", "sumprod2", "minsum")
+    correction = method != "minsum"
+    cf = jnp.asarray(corr_factor, ch.dtype)
+    batch_shape = ch.shape[:-1]
+    flat = ch.reshape(-1, ch.shape[-1])
+    traj, it = _decode_lanes_trace(flat, graph, num_iters, correction, cf)
+    return (traj.reshape((num_iters,) + batch_shape + (ch.shape[-1],)),
+            it.reshape(batch_shape))
 
 
 def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,

@@ -141,6 +141,98 @@ def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
 
 
 # --------------------------------------------------------------------------
+# Concatenated LDPC-SPARC Monte Carlo (the performance_plots_general.py
+# num_of_runs loop, batched + sharded)
+# --------------------------------------------------------------------------
+
+def concat_mc_trial_errors(sparc_params: SparcParams, ldpc_params: LdpcParams,
+                           lengths, ldpc_protected: bool,
+                           decode_params: DecodeParams, awgn_var: float,
+                           seed, n_trials: int, decoder: str = "sequential",
+                           mesh: Optional[jax.sharding.Mesh] = None,
+                           n_designs: Optional[int] = None) -> np.ndarray:
+    """Per-trial user-bit error counts for the concatenated decoder family.
+
+    Replaces the reference's `for run in range(num_of_runs)` Python loop
+    (performance_plots_general.py:101-118) with a vmapped batch of full
+    encode->AWGN->AMP+BP->count trials, shard_map'ed over the mesh 'dp'
+    axis. The whole batch is ONE device program: AMP soft outputs feed the
+    batched BP without host round-trips.
+
+    Randomness follows the sparc_mc_counts contract: trial t gets key
+    fold(seed, t) and design (seed, t % n_designs) — functions of the
+    GLOBAL trial index only, so results are bit-identical on any mesh
+    shape. n_trials not divisible by the dp axis is padded up internally
+    (extra trials computed and discarded; the kept results are unchanged).
+
+    Returns an (n_trials,) int array of user-bit error counts (the per-run
+    BERs divide by codec.user_bits_len; min/max over trials give the
+    reference's asymmetric error bars, performance_plots_general.py:120-126).
+    """
+    from ..models.concat import ConcatCodec
+
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh(sec=1)
+    n_dp = mesh.shape["dp"]
+    if n_designs is None:
+        n_designs = min(8, n_trials)
+    n_pad = ((n_trials + n_dp - 1) // n_dp) * n_dp
+
+    codec = ConcatCodec(sparc_params, ldpc_params, lengths, ldpc_protected)
+    designs = [codec.build_design((seed, d)) for d in range(n_designs)]
+    designs = designs[0].with_leaves(
+        jnp.stack([d.idx for d in designs]),
+        jnp.stack([d.signs for d in designs]))
+    root = rngmod.root_key(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+        jnp.arange(n_pad))
+    didx = jnp.arange(n_pad, dtype=jnp.int32) % n_designs
+
+    def one_trial(key, design):
+        user_bits, total_bits, beta0 = codec.encode_message(key)
+        x = design.ab(beta0 / codec.c_amp)
+        y = awgn_channel(x, awgn_var, rngmod.derive(key, rngmod.CHANNEL))
+        bits_out = codec.decode(y, design, decode_params, decoder)
+        return jnp.sum(user_bits != bits_out)
+
+    def shard_fn(keys_local, didx_local, idx, signs):
+        def per_trial(key, di):
+            return one_trial(key, designs.with_leaves(idx[di], signs[di]))
+        errs = jax.vmap(per_trial)(keys_local, didx_local)
+        # replicate the full per-trial vector to every dp row so any one
+        # addressable shard carries the global result (multi-host safe)
+        return jax.lax.all_gather(errs, "dp", tiled=True)[None]
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, check_vma=False,
+        in_specs=(P("dp"), P("dp"), P(), P()),
+        out_specs=P("dp")))
+    res = fn(keys, didx, designs.idx, designs.signs)
+    return np.asarray(res.addressable_shards[0].data)[0][:n_trials]
+
+
+def concat_ber_point(sparc_params: SparcParams, ldpc_params: LdpcParams,
+                     lengths, ldpc_protected: bool,
+                     decode_params: DecodeParams, awgn_var: float, seed,
+                     n_trials: int, decoder: str = "sequential",
+                     mesh: Optional[jax.sharding.Mesh] = None) -> Dict:
+    """One sweep point: mean/min/max BER over n_trials (the aggregation of
+    performance_plots_general.py:120-126)."""
+    from ..models.concat import ConcatCodec
+    codec = ConcatCodec(sparc_params, ldpc_params, lengths, ldpc_protected)
+    errs = concat_mc_trial_errors(
+        sparc_params, ldpc_params, lengths, ldpc_protected, decode_params,
+        awgn_var, seed, n_trials, decoder, mesh)
+    bers = errs / codec.user_bits_len
+    return {"ber": float(np.mean(bers)), "ber_min": float(np.min(bers)),
+            "ber_max": float(np.max(bers)),
+            "frame_errs": int(np.sum(errs > 0)), "frames": int(n_trials),
+            "bit_errs": int(np.sum(errs)),
+            "bits": int(n_trials * codec.user_bits_len)}
+
+
+# --------------------------------------------------------------------------
 # LDPC waterfall campaign (ldpc_awgn.py:60-123 semantics, batched + sharded)
 # --------------------------------------------------------------------------
 

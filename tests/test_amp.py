@@ -61,3 +61,26 @@ def test_noise_free_channel():
     bits_out, res, _ = sparc_mod.sparc_decode(x, design, params,
                                               DecodeParams(t_max=8), 0.01, beta0)
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits_out))
+
+
+def test_sim_error_location_diagnostics():
+    """sparc_sim returns the reference's error-location diagnostics
+    (loc_of_sec_errs etc., sparc_public/sparc_sim.py:30-51): indices of
+    wrongly-decoded sections, consistent with num_of_sec_errs and ser."""
+    import numpy as np
+    from ldpc_sparc_tpu.models.sparc import sparc_sim
+    # near-threshold rate: some section errors expected
+    p = SparcParams(P=15.0, R=1.8, L=64, M=16)
+    r = sparc_sim(p, DecodeParams(t_max=10), awgn_var=2.0, seed=1)
+    locs = r["loc_of_sec_errs"]
+    assert locs.ndim == 1 and locs.size == int(r["num_of_sec_errs"])
+    assert np.all((locs >= 0) & (locs < p.L))
+    assert abs(float(r["ser"]) - locs.size / p.L) < 1e-6
+    assert locs.size > 0  # R=1.8 is well above threshold at this SNR
+    # modulated path carries the full location/value split
+    pm = SparcParams(P=15.0, R=2.5, L=64, M=8, K=4, modulated=True,
+                     is_complex=True)
+    rm = sparc_sim(pm, DecodeParams(t_max=8), awgn_var=1.0, seed=1)
+    for k in ("loc_of_sec_errs", "loc_of_loc_errs", "loc_of_val_errs"):
+        assert rm[k].ndim == 1
+    assert rm["loc_of_sec_errs"].size == int(rm["num_of_sec_errs"])

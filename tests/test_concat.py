@@ -128,6 +128,98 @@ def test_ldpc_bool_false_plain_sparc_path():
     assert np.mean(bers) < 0.05
 
 
+def _setup_trial(seed=7, awgn_div=6.0):
+    import jax
+    from ldpc_sparc_tpu.models.sparc import awgn_channel
+    from ldpc_sparc_tpu.utils import rng as rngmod
+    sp, ldpc, lengths = small_setup()
+    codec = ConcatCodec(sp, ldpc, lengths, True)
+    key = rngmod.root_key(seed)
+    user_bits, _, _, x, design = codec.encode(seed, key)
+    y = awgn_channel(x, 19.44 / awgn_div, rngmod.derive(key, rngmod.CHANNEL))
+    return codec, user_bits, y, design
+
+
+@pytest.mark.parametrize("decoder", ["naive", "naive_posteriors",
+                                     "integrated", "integrated_posteriors"])
+def test_scan_decoders_match_unrolled(decoder):
+    """The lax.scan interleaved/integrated decoders produce the same hard
+    bits as a literal Python-unrolled loop of the same building blocks
+    (the shape the reference unrolls, sparc_new.py:257-282,472-502)."""
+    import jax.numpy as jnp
+    from ldpc_sparc_tpu.ops.bridges import (
+        section_probs_to_bit_probs, bit_probs_to_section_probs,
+        combine_posteriors, integrated_onsager_derivative)
+
+    codec, user_bits, y, design = _setup_trial()
+    t_max, bi, bf = 6, 4, 50
+    M = codec.sparc.M
+    c = codec.c_amp
+    posteriors = decoder.endswith("posteriors")
+    integrated = decoder.startswith("integrated")
+
+    # literal unrolled loop (the pre-scan implementation)
+    beta = jnp.zeros(codec.sparc.L * M, jnp.float32)
+    z = jnp.zeros_like(y)
+    tau_sqr = jnp.asarray(1.0, jnp.float32)
+    deta_sum = jnp.asarray(0.0, jnp.float32)
+    hard_unrolled = None
+    for t in range(t_max):
+        if integrated:
+            z, s, tau_sqr = codec._amp_step(design, y, beta, z, tau_sqr,
+                                            onsager="deta",
+                                            deta_sum=deta_sum)
+        else:
+            z, s, tau_sqr = codec._amp_step(design, y, beta, z, tau_sqr,
+                                            onsager="standard")
+        if t != t_max - 1:
+            alpha = codec._mmse(s, tau_sqr) / c
+            vk0 = section_probs_to_bit_probs(alpha, M)
+            vk = codec.ldpc_bp(vk0, bi, hard=False)
+            gamma = bit_probs_to_section_probs(vk, M)
+            if posteriors:
+                beta = c * combine_posteriors(alpha, gamma, M)
+                if integrated:
+                    deta_sum = jnp.sum(codec._deta_posteriors(
+                        alpha, gamma, vk, vk0, tau_sqr, M))
+            else:
+                beta = c * gamma
+                if integrated:
+                    deta_sum = jnp.sum(c * integrated_onsager_derivative(
+                        alpha, vk, vk0, gamma, tau_sqr, M, c))
+            if not integrated:
+                # interleaved family: BP replaces/combines the MMSE beta
+                pass
+        else:
+            vk0 = section_probs_to_bit_probs(codec._mmse(s, tau_sqr) / c, M)
+            hard_unrolled = codec.ldpc_bp(vk0, bf, hard=True)
+
+    got = codec.decode(y, design, DecodeParams(t_max=t_max), decoder,
+                       bp_inner_iters=bi, bp_final_iters=bf)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(hard_unrolled))
+
+
+def test_instrumented_inner_bp_trace():
+    """trace_inner_bp=True yields per-BP-iteration probes whose last BP
+    iteration agrees with the post_bp probe (missing #1 of the round-1
+    verdict: ldpc_bp_test's per-BP-iteration probes,
+    sparc_new.py:1195-1232)."""
+    codec, user_bits, y, design = _setup_trial(seed=9, awgn_div=5.0)
+    t_max, bi = 5, 4
+    probes = codec.decode_instrumented(y, design, DecodeParams(t_max=t_max),
+                                       decoder="naive", bp_inner_iters=bi,
+                                       trace_inner_bp=True)
+    assert probes["inner_bp"].shape == (t_max, bi, user_bits.size)
+    np.testing.assert_array_equal(np.asarray(probes["inner_bp"][:, -1]),
+                                  np.asarray(probes["post_bp"]))
+    # by the last AMP iteration the BP trace should have recovered the bits
+    bi_arr = np.asarray(user_bits)
+    final = np.mean(np.asarray(probes["inner_bp"][-1, -1]) != bi_arr)
+    first = np.mean(np.asarray(probes["inner_bp"][0, 0]) != bi_arr)
+    assert final <= first
+
+
 def test_decode_instrumented():
     """Per-iteration BER probes: post-BP decisions should be at least as
     good as pre-BP by the final iterations (the reference's printf-style

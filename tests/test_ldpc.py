@@ -46,21 +46,22 @@ def test_structure_encode_noiseless_decode(standard, rate, z, ptype):
     assert np.array_equal(np.sort(code.intrlv), np.arange(code.Nmsg))
 
     rng = np.random.default_rng(hash((standard, rate, z, ptype)) % 2**32)
-    n_words = 3
+    # the reference's depth: 100 random codewords per config
+    # (ldpc_jossy/py/test_ldpc.py:56-69); encode is vmapped and the
+    # noiseless decode is one batched call, so this is nearly free
+    n_words = 100
     us = rng.integers(0, 2, (n_words, code.K))
     xs = np.asarray(code.encode(jnp.asarray(us)))
     # zero syndrome for every codeword
     assert np.count_nonzero((xs @ H.T) % 2) == 0
-    # noiseless-channel decode fixed point: 0 iterations, exact recovery
+    # noiseless-channel decode fixed point: 0 iterations, exact recovery —
+    # for sumprod2 AND minsum (the reference comments minsum out because its
+    # C kernel is broken upstream, test_ldpc.py:70-73; ours is fixed)
     ys = 10.0 * (0.5 - xs)
-    res = code.decode(jnp.asarray(ys, jnp.float32), 200, "sumprod2")
-    assert np.all(np.asarray(res.iterations) == 0)
-    assert np.array_equal(np.asarray(res.app) < 0, xs.astype(bool))
-    if z <= 27:  # minsum compile per shape is the suite's main cost;
-        # a representative subset keeps coverage (all shapes hit sumprod)
-        res_ms = code.decode(jnp.asarray(ys, jnp.float32), 200, "minsum")
-        assert np.all(np.asarray(res_ms.iterations) == 0)
-        assert np.array_equal(np.asarray(res_ms.app) < 0, xs.astype(bool))
+    for method in ("sumprod2", "minsum"):
+        res = code.decode(jnp.asarray(ys, jnp.float32), 200, method)
+        assert np.all(np.asarray(res.iterations) == 0), method
+        assert np.array_equal(np.asarray(res.app) < 0, xs.astype(bool)), method
     # oracle agrees on one codeword
     app_ref, it_ref = code.decode_ref(ys[0], 200, "sumprod")
     assert it_ref == 0
@@ -105,6 +106,33 @@ def test_lxor_lxfb_vs_oracle():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_bp_decode_trace_matches_decode():
+    """The fixed-length traced decoder's final APP equals the while_loop
+    decoder's (same iteration math, same parity-freeze semantics), and the
+    per-iteration trajectory is monotone in recovered bits on easy inputs."""
+    from ldpc_sparc_tpu.ops.bp import bp_decode, bp_decode_trace
+    code = get_code("802.11n", "1/2", 27)
+    rng = np.random.default_rng(5)
+    sigma2 = 1.0 / 10 ** (2.5 / 10)
+    B = 8
+    us = rng.integers(0, 2, (B, code.K))
+    xs = np.asarray(code.encode(jnp.asarray(us)))
+    ys = (1.0 - 2.0 * xs) + rng.normal(0, np.sqrt(sigma2), xs.shape)
+    llr = jnp.asarray(2.0 / sigma2 * ys, jnp.float32)
+    n_it = 60
+    res = bp_decode(llr, code.graph, max_iters=n_it, method="sumprod")
+    traj, it = bp_decode_trace(llr, code.graph, n_it, method="sumprod")
+    assert traj.shape == (n_it, B, code.N)
+    np.testing.assert_array_equal(np.asarray(it), np.asarray(res.iterations))
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(res.app),
+                               rtol=1e-5, atol=1e-5)
+    # trajectory converges: last-iteration errors <= first-iteration errors
+    errs = [np.sum((np.asarray(traj[j]) < 0) != xs.astype(bool))
+            for j in (0, n_it - 1)]
+    assert errs[1] <= errs[0]
+    assert errs[1] == 0
+
+
 def test_waterfall_sanity():
     """BER decreases with SNR and beats uncoded at moderate SNR
     (statistical-validation strategy of ldpc_jossy/README.md:133-137)."""
@@ -122,3 +150,13 @@ def test_waterfall_sanity():
         bers.append(np.mean((np.asarray(res.app) < 0) != xs.astype(bool)))
     assert bers[1] < bers[0]
     assert bers[1] < 1e-3
+
+
+def test_native_bp_selftest():
+    """The standalone C++ kernel self-test (no Python in the loop once
+    built): baked 802.16 z=81 codeword over a BSC, every check rule must
+    fully correct — the reference's __DEBUG__ main (c_ldpc.c:404-449)."""
+    from ldpc_sparc_tpu.native.tools import run_bp_selftest
+    out = run_bp_selftest()
+    assert "PASS" in out
+    assert "FAIL" not in out

@@ -57,6 +57,41 @@ def test_sparc_mc_pow2_flagship_shape():
     assert c["frames"] == 8 and c["bit_errs"] == 0
 
 
+def test_concat_mc_partition_invariance_and_padding():
+    """The batched concatenated-decoder Monte-Carlo returns per-trial error
+    counts that are bit-identical on any mesh shape, including a trial
+    count that does not divide the dp axis (internal padding)."""
+    from ldpc_sparc_tpu.config import param_calc
+    from ldpc_sparc_tpu.models.ldpc import get_code
+    from ldpc_sparc_tpu.parallel.montecarlo import (concat_mc_trial_errors,
+                                                    concat_ber_point)
+    ldpc = LdpcParams(standard="802.16", rate="1/2", z=12)
+    code = get_code("802.16", "1/2", 12)
+    rate, L_sparc, L_sparc_ldpc, lengths = param_calc(
+        mults=2, logM=2, ldpc=ldpc, int_rate=0.5, R_sparc_ldpc=1.0,
+        ldpc_K=code.K)
+    sp = SparcParams(P=19.44, R=1.0, L=L_sparc_ldpc, M=4)
+    dec = DecodeParams(t_max=8)
+    kw = dict(awgn_var=19.44 / 6.0, seed=2, n_trials=6, decoder="naive")
+    e8 = concat_mc_trial_errors(sp, ldpc, lengths, True, dec,
+                                mesh=make_mesh(sec=1), **kw)
+    e1 = concat_mc_trial_errors(
+        sp, ldpc, lengths, True, dec,
+        mesh=jax.make_mesh((1, 1), ("dp", "sec"),
+                           devices=jax.devices()[:1]), **kw)
+    assert e8.shape == e1.shape == (6,)
+    np.testing.assert_array_equal(e8, e1)
+    # aggregation: point dict consistent with the raw counts
+    pt = concat_ber_point(sp, ldpc, lengths, True, dec, 19.44 / 6.0, 2,
+                          n_trials=6, decoder="naive",
+                          mesh=make_mesh(sec=1))
+    assert pt["bit_errs"] == int(np.sum(e8))
+    assert pt["frames"] == 6
+    assert pt["ber_min"] <= pt["ber"] <= pt["ber_max"]
+    # high SNR: everything decodes
+    assert pt["bit_errs"] == 0
+
+
 def test_sharded_sc_sim_matches_unsharded_statistics():
     """Section-sharded AMP reproduces the unsharded decoder's error
     statistics for the same SC config (TP correctness check)."""

@@ -185,3 +185,19 @@ def test_plot_waterfalls_both_formats(tmp_path):
     assert (tmp_path / "w.png").exists()
     pdf = plot_waterfalls(recs, tmp_path / "w.pdf")
     assert (tmp_path / "w.pdf").exists()
+
+
+def test_config_key_distinguishes_configs():
+    """Resume keys carry the full sweep config: a changed config in the
+    same --out dir must NOT resume from stale rows (round-1 weak #6)."""
+    from ldpc_sparc_tpu.cli import _config_key
+    from ldpc_sparc_tpu.config import SparcParams
+    base = dict(params=SparcParams(P=15.0, R=1.3, L=64, M=16),
+                t_max=10, trials=4)
+    k1 = _config_key(**base)
+    k1b = _config_key(**base)
+    k2 = _config_key(**{**base, "params": SparcParams(P=15.0, R=1.3,
+                                                      L=64, M=32)})
+    k3 = _config_key(**{**base, "t_max": 25})
+    assert k1 == k1b
+    assert len({k1, k2, k3}) == 3
