@@ -10,9 +10,23 @@ hostile to the MXU), we use the Kronecker factorization
 
     H_w = H_a  (x)  H_b  (x)  ...   =>   FWHT = a chain of dense matmuls
 
-with factors of at most 2^10, so a w=2^20 transform is two 1024x1024 matmuls
-per batch row — exactly the shape the 128x128 systolic array wants. XLA fuses
-the surrounding scatter/gather/scale elementwise ops into the matmul kernels.
+so a w=2^19 transform is a short chain of (w/f, f) @ (f, f) matmuls — exactly
+the shape the 128x128 systolic array wants. XLA fuses the surrounding
+scatter/gather/scale elementwise ops into the matmul kernels.
+
+Tuning knobs (swept on hardware in benchmarks/perf_sweep.py, results in
+docs/ROOFLINE.md):
+
+  * max_log_factor — the largest Kronecker factor is 2^max_log_factor.
+    Smaller factors mean fewer FLOPs (total = 2 * w * sum(factors)) but more
+    passes over the array (HBM traffic = passes * 2 * w * itemsize); larger
+    factors trade FLOPs for fewer memory passes. The default is chosen from
+    the hardware sweep.
+  * matmul_dtype — 'bfloat16' feeds the MXU bf16 inputs with float32
+    accumulation (preferred_element_type). Hadamard entries are +-1 (exact
+    in bf16); only the activations are rounded (~2^-9 relative per pass),
+    which is ~40 dB below the AWGN channel noise at the operating SNRs —
+    BER-neutral (gated by the bench correctness check) and 2x MXU rate.
 
 All Hadamard factor matrices are Sylvester-ordered, symmetric, entries +-1.
 """
@@ -20,14 +34,36 @@ All Hadamard factor matrices are Sylvester-ordered, symmetric, entries +-1.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Largest Kronecker factor: 2^10 x 2^10 dense matmul tiles well on the MXU
-# while keeping the factor matrix (4 MB fp32) comfortably in VMEM.
-_MAX_LOG_FACTOR = 7
+# Defaults; override with set_fwht_options() or the environment variables
+# LDPC_SPARC_WHT_MAX_LOG_FACTOR / LDPC_SPARC_WHT_DTYPE (read at import).
+_MAX_LOG_FACTOR = int(os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "7"))
+_MATMUL_DTYPE = os.environ.get("LDPC_SPARC_WHT_DTYPE", "float32")
+
+
+def set_fwht_options(max_log_factor: int | None = None,
+                     matmul_dtype: str | None = None) -> None:
+    """Set the FWHT tuning knobs process-wide.
+
+    Call before tracing; already-jitted callers keep the factorization they
+    were traced with (the knobs are trace-time constants).
+    """
+    global _MAX_LOG_FACTOR, _MATMUL_DTYPE
+    if max_log_factor is not None:
+        assert 1 <= max_log_factor <= 13
+        _MAX_LOG_FACTOR = int(max_log_factor)
+    if matmul_dtype is not None:
+        assert matmul_dtype in ("float32", "bfloat16")
+        _MATMUL_DTYPE = matmul_dtype
+
+
+def get_fwht_options() -> tuple[int, str]:
+    return _MAX_LOG_FACTOR, _MATMUL_DTYPE
 
 
 @functools.lru_cache(maxsize=None)
@@ -44,11 +80,11 @@ def hadamard_factor(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(_hadamard_np(n), dtype=dtype)
 
 
-def _factorize(log_w: int) -> list[int]:
-    """Split log2(w) into near-equal chunks of at most _MAX_LOG_FACTOR."""
+def _factorize(log_w: int, max_log_factor: int) -> list[int]:
+    """Split log2(w) into near-equal chunks of at most max_log_factor."""
     if log_w == 0:
         return [1]
-    k = -(-log_w // _MAX_LOG_FACTOR)  # ceil
+    k = -(-log_w // max_log_factor)  # ceil
     base, rem = divmod(log_w, k)
     logs = [base + (1 if i < rem else 0) for i in range(k)]
     return [1 << g for g in logs]
@@ -67,17 +103,22 @@ def fwht(x: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.complex(fwht(jnp.real(x)), fwht(jnp.imag(x)))
 
     log_w = w.bit_length() - 1
-    factors = _factorize(log_w)
+    factors = _factorize(log_w, _MAX_LOG_FACTOR)
+    out_dtype = x.dtype
+    mm_dtype = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else out_dtype
     batch = x.shape[:-1]
     y = x.reshape(batch + tuple(factors))
     nb = len(batch)
     for i, f in enumerate(factors):
-        H = hadamard_factor(f, y.dtype)
+        H = hadamard_factor(f, mm_dtype)
         axis = nb + i
-        # contract factor axis with H (symmetric), put result back in place
+        # contract factor axis with H (symmetric), put result back in place;
+        # accumulate in the output dtype even when feeding the MXU bf16
         y = jnp.moveaxis(
-            jnp.tensordot(y, H, axes=[[axis], [0]]), -1, axis)
-    return y.reshape(batch + (w,))
+            jnp.tensordot(y.astype(mm_dtype), H, axes=[[axis], [0]],
+                          preferred_element_type=out_dtype),
+            -1, axis)
+    return y.reshape(batch + (w,)).astype(out_dtype)
 
 
 def fwht_matrix_row(w: int, r: int) -> np.ndarray:
