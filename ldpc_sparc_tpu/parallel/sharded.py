@@ -226,4 +226,10 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
         return {"bit_errs": int(out[0]), "sec_errs": int(out[1]),
                 "frame_errs": int(out[2]), "iter_sum": int(out[3])}
 
+    # expose the raw jitted step + its full argument list so perf tooling
+    # (benchmarks/multichip_scaling.py) can time it and inspect the
+    # compiled HLO's collectives without re-deriving the design
+    run.step = step
+    run.step_args = lambda keys: (keys, sd.idx, sd.signs, sd.scale,
+                                  sd.rows, sd.cols)
     return run, n_dp

@@ -36,8 +36,9 @@ def test_fwht_complex():
 
 
 def test_factorize():
-    assert _factorize(0) == [1]
-    for lw in (1, 3, 10, 11, 20, 21):
-        fs = _factorize(lw)
-        assert int(np.prod(fs)) == 1 << lw
-        assert all(f <= 1024 for f in fs)
+    for mlf in (5, 7, 10):
+        assert _factorize(0, mlf) == [1]
+        for lw in (1, 3, 10, 11, 20, 21):
+            fs = _factorize(lw, mlf)
+            assert int(np.prod(fs)) == 1 << lw
+            assert all(f <= 1 << mlf for f in fs)
