@@ -117,17 +117,46 @@ def cmd_ldpc_campaign(args):
     out.mkdir(parents=True, exist_ok=True)
     txt = out / "results.txt"
 
-    def on_point(rec):
-        with open(txt, "a") as f:
-            f.write(record_to_tuple_line(rec) + "\n")
-        print(json.dumps({"snr": rec[4], "blocks": rec[5],
-                          "block_errs": rec[6]}))
+    # Resumable per (config, SNR-point index) cell (SURVEY.md section 5):
+    # each measured point is stored with the campaign state needed to
+    # continue EXACTLY (next adaptive SNR + running key counter), so a
+    # killed campaign rerun produces the identical record set with no
+    # duplicated points — strictly better than the reference's append-only
+    # log which loses the in-flight point (ldpc_awgn.py:109-114).
+    store = ResultsStore(out / "ldpc_campaign.jsonl")
+    cfg_key = _config_key(params=params, points=args.points,
+                          min_errors=args.min_errors,
+                          max_blocks=args.max_blocks, batch=args.batch,
+                          dectype=args.dectype, max_iters=args.max_iters,
+                          seed=args.seed)
+    start_point, start_snr, start_ctr = 0, None, 0
+    for p in range(args.points):
+        prev = store.get(f"ldpc:{cfg_key}:p{p}")
+        if prev is None:
+            break
+        start_point, start_snr, start_ctr = \
+            p + 1, prev["next_snr"], prev["ctr"]
 
-    recs = ldpc_waterfall_campaign(
+    def on_point(rec, state):
+        store.append(f"ldpc:{cfg_key}:p{state['point']}",
+                     {"record": list(rec), **state})
+        print(json.dumps({"point": state["point"], "snr": rec[4],
+                          "blocks": rec[5], "block_errs": rec[6]}))
+
+    ldpc_waterfall_campaign(
         params, seed=args.seed, n_measurements=args.points,
         min_errors=args.min_errors, max_blocks=args.max_blocks,
         batch=args.batch, dectype=args.dectype, max_iters=args.max_iters,
-        on_point=on_point)
+        on_point=on_point, start_point=start_point, start_snr=start_snr,
+        start_ctr=start_ctr)
+
+    # Export the reference-format artifacts by REGENERATING them from the
+    # store (all configs sharing this --out dir, in measurement order) —
+    # a resumed run never duplicates results.txt lines.
+    recs = [tuple(r["record"]) for r in store.records() if "record" in r]
+    with open(txt, "w") as f:
+        for rec in recs:
+            f.write(record_to_tuple_line(rec) + "\n")
     records_to_csv(recs, out / "results.csv")
     plot_waterfalls(recs, out / "waterfall.png")
     return recs

@@ -248,8 +248,7 @@ class ConcatCodec:
         """AMP to completion, then BP (sparc_ldpc_decode, sparc_new.py:53-82)."""
         M = self.sparc.M
         beta, s = self._run_amp(y, design, dp.t_max)
-        un_beta, _ = self._split_protected(beta, M)
-        _, prot_beta = self._split_protected(beta, M)
+        un_beta, prot_beta = self._split_protected(beta, M)
         unprotected = self._map(s)[:un_beta.size]
         un_bits = bitops.msg_vector_to_bits(unprotected, M) \
             if un_beta.size else jnp.zeros(0, jnp.bool_)
@@ -476,6 +475,9 @@ class ConcatCodec:
 # end-to-end simulation (sparc_sim_new.py:12-224 family)
 # --------------------------------------------------------------------------
 
+# LRU-bounded: each entry holds a jitted program; sweeping many configs in
+# one process must not grow device/host memory without bound
+_SIM_CACHE_MAX = 16
 _SIM_CACHE = {}
 
 
@@ -505,6 +507,8 @@ def concat_sim(sparc_params: SparcParams, ldpc_params: LdpcParams,
             bits_out = codec.decode(y, design, decode_params, decoder)
             return user_bits, bits_out
 
+        if len(_SIM_CACHE) >= _SIM_CACHE_MAX:
+            _SIM_CACHE.pop(next(iter(_SIM_CACHE)))  # evict oldest (dicts are ordered)
         _SIM_CACHE[cfg] = (codec, jax.jit(trial))
     codec, trial_fn = _SIM_CACHE[cfg]
     key = rngmod.root_key(seed)

@@ -159,19 +159,15 @@ class LdpcCode:
         ch: (..., N) LLRs. Returns (app, iterations).
 
         backend: 'pallas' (single fused TPU kernel, messages resident in
-        VMEM across iterations — ~3.5x the XLA path on TPU), 'xla'
-        (portable scan kernel), or 'auto' (pallas on TPU, xla elsewhere).
+        VMEM across iterations — measured speedup vs the XLA path on
+        hardware in docs/artifacts/bp_pallas_tpu_check.json), 'xla'
+        (portable while-loop kernel), or 'auto' (pallas on TPU, xla
+        elsewhere; ops/bp.py default_bp_backend).
         """
         method = "minsum" if dectype == "minsum" else "sumprod"
         ch = jnp.asarray(ch, jnp.float32)
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if backend == "pallas":
-            from ..ops.bp_pallas import bp_decode_pallas
-            return bp_decode_pallas(ch, self.graph, max_iters=max_itcount,
-                                    method=method, corr_factor=corr_factor)
         return bp_decode(ch, self.graph, max_iters=max_itcount, method=method,
-                         corr_factor=corr_factor)
+                         corr_factor=corr_factor, backend=backend)
 
     def Lxor(self, L1: float, L2: float, corrflag: int = 1) -> float:
         """Pairwise LLR-XOR via the native oracle (API of ldpc.py:492-495)."""

@@ -117,4 +117,9 @@ def sparc_se(awgn_var: float, params: SparcParams, t_max: int,
             psi[t:] = psi[t]
             break
         psi[t + 1] = 1.0 - np.asarray(expect(jnp.asarray(tau, jnp.float32)))
+    if tau is None:
+        # t_max == 1: no iteration ran; still return the tau implied by the
+        # initial psi so SER estimation downstream never sees None
+        phi = awgn_var + (Wj @ jnp.asarray(psi[0], jnp.float32)) / Lc
+        tau = np.asarray((np.log(2) * R * Lr / logKM) / (Wj.T @ (1.0 / phi)))
     return psi, tau

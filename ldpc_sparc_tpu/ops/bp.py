@@ -284,16 +284,40 @@ def bp_decode_trace(ch: jnp.ndarray, graph: TannerGraph, num_iters: int,
             it.reshape(batch_shape))
 
 
+def default_bp_backend() -> str:
+    """Backend the hot paths use when asked for 'auto': the fused Pallas
+    kernel on TPU (messages VMEM-resident across iterations — measured
+    faster than the XLA scan on hardware, docs/artifacts/
+    bp_pallas_tpu_check.json), the portable XLA kernel elsewhere.
+    Override with LDPC_SPARC_BP_BACKEND=xla|pallas."""
+    import os
+    env = os.environ.get("LDPC_SPARC_BP_BACKEND")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,
-              method: str = "sumprod", corr_factor: float = 0.7) -> BpResult:
+              method: str = "sumprod", corr_factor: float = 0.7,
+              backend: str = "auto") -> BpResult:
     """Decode channel LLRs.
 
     ch       : (..., Nv) channel log-likelihood ratios (LLR > 0 => bit 0)
     method   : 'sumprod' (exact, the reference's sumprod/sumprod2) or
                'minsum' (approximate with correction factor, c_ldpc.c:339-381)
+    backend  : 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla', or
+               'pallas_interpret' (CPU-side kernel semantics check)
     Returns a-posteriori LLRs and per-codeword iteration counts.
     """
     assert method in ("sumprod", "sumprod2", "minsum")
+    if backend == "auto":
+        backend = default_bp_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from .bp_pallas import bp_decode_pallas
+        return bp_decode_pallas(ch, graph, max_iters=max_iters, method=method,
+                                corr_factor=corr_factor,
+                                interpret=backend == "pallas_interpret")
+    assert backend == "xla", f"unknown BP backend {backend!r}"
     correction = method != "minsum"
     cf = jnp.asarray(corr_factor, ch.dtype)
     batch_shape = ch.shape[:-1]

@@ -65,8 +65,17 @@ def _make_kernel(g: TannerGraph, max_iters: int, correction: bool,
 
     def kernel(ch_ref, app_ref, it_ref, msg_ref, done_ref):
         """ch_ref: (Np, z, bt) VMEM; app_ref: (Np, z, bt); it_ref: (1, bt)
-        int32; msg_ref: (E, z, bt) VMEM scratch (check-aligned c2v);
-        done_ref: (1, bt) float32 scratch (1.0 = frozen)."""
+        int32; msg_ref: (E, z, bt) VMEM scratch; done_ref: (1, bt) float32
+        scratch (1.0 = frozen).
+
+        msg_ref is reused IN PLACE between the two half-iterations: it holds
+        check-aligned c2v messages entering the variable update and
+        check-aligned v2c messages entering the check update (each edge
+        belongs to exactly one column and one row, so each phase reads an
+        edge's slot before overwriting it). This keeps peak VMEM at one
+        (E, z, bt) buffer plus per-column/per-row temporaries — the
+        all-edges-materialized form needs ~3x that and overflows VMEM at the
+        reference concat scale z=150. Frozen (done) lanes always keep c2v."""
         msg_ref[...] = jnp.zeros((E, z, bt), jnp.float32)
         done_ref[...] = jnp.zeros((1, bt), jnp.float32)
         it_ref[...] = jnp.zeros((1, bt), jnp.int32)
@@ -77,30 +86,29 @@ def _make_kernel(g: TannerGraph, max_iters: int, correction: bool,
             done = done_ref[0]                      # (bt,)
             live = 1.0 - done
 
-            # ---- variable nodes ----
-            # var-aligned incoming messages: roll each edge's check-aligned
-            # block by its static shift (m_var[v] = m_chk[(v - s) mod z])
-            c2v_var = [pltpu.roll(msg_ref[e], shifts[e], axis=0)
-                       for e in range(E)]
-            v2c_chk = [None] * E
+            # ---- variable nodes (one protograph column at a time) ----
             for j in range(Np):
+                # var-aligned incoming c2v: roll each edge's check-aligned
+                # block by its static shift (m_var[v] = m_chk[(v - s) mod z])
+                vals = [pltpu.roll(msg_ref[e], shifts[e], axis=0)
+                        for e in col_edges[j]]
                 tot = ch_ref[j]
-                for e in col_edges[j]:
-                    tot = tot + c2v_var[e]
-                for e in col_edges[j]:
-                    # extrinsic, re-aligned to check order (pltpu.roll needs
-                    # a non-negative shift: -s mod z)
-                    v2c_chk[e] = pltpu.roll(tot - c2v_var[e],
-                                            (z - shifts[e]) % z, axis=0)
+                for v in vals:
+                    tot = tot + v
                 # update app only for live lanes
                 app_ref[j] = app_ref[j] * done + tot * live
+                for e, v in zip(col_edges[j], vals):
+                    # extrinsic v2c, re-aligned to check order (pltpu.roll
+                    # needs a non-negative shift: -s mod z)
+                    v2c = pltpu.roll(tot - v, (z - shifts[e]) % z, axis=0)
+                    msg_ref[e] = msg_ref[e] * done + v2c * live
 
             # ---- check nodes (forward-backward trellis) ----
             all_ok = jnp.ones((bt,), jnp.float32)
             for i in range(Mp):
                 es = row_edges[i]
                 d = len(es)
-                msgs = [v2c_chk[e] for e in es]
+                msgs = [msg_ref[e][...] for e in es]
                 fwd = [msgs[0]]
                 bwd = [None] * d
                 bwd[d - 1] = msgs[d - 1]

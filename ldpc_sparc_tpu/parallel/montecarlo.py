@@ -238,16 +238,22 @@ def concat_ber_point(sparc_params: SparcParams, ldpc_params: LdpcParams,
 
 def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
                        max_iters: int, dectype: str,
-                       mesh: Optional[jax.sharding.Mesh]):
+                       mesh: Optional[jax.sharding.Mesh],
+                       bp_backend: str = "auto"):
     """Decode one batch of random codewords at SNR (dB); returns
-    (bit_errs, block_errs, iters) summed over the batch."""
+    (bit_errs, block_errs, iters) summed over the batch.
+
+    The BP call goes through the backend dispatcher (ops/bp.py bp_decode):
+    on TPU the default is the fused Pallas kernel — this is the campaign's
+    hot loop (the reference profile spends 29.47/30.45 s here,
+    ldpc_jossy/data/1809301420_profile.txt)."""
     sigma2 = 1.0 / 10 ** (snr_db / 10.0)
     K, N = code.K, code.N
 
     def batch_counts(keys_b):
         """Encode/transmit per codeword (vmap), decode the whole batch in
         one lane-batched BP call (codewords ride the vector lanes)."""
-        from ..ops.bp import _decode_lanes
+        from ..ops.bp import bp_decode
 
         def tx(key):
             ku, kn = jax.random.split(key)
@@ -258,8 +264,9 @@ def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
             return x, 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
 
         xs, llrs = jax.vmap(tx)(keys_b)
-        res = _decode_lanes(llrs.astype(jnp.float32), code.graph, max_iters,
-                            dectype != "minsum", jnp.float32(0.7))
+        method = "minsum" if dectype == "minsum" else "sumprod"
+        res = bp_decode(llrs.astype(jnp.float32), code.graph, max_iters,
+                        method, 0.7, backend=bp_backend)
         xh = (res.app < 0).astype(jnp.int32)
         biterrs = jnp.sum(xs != xh, axis=1)
         return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
@@ -287,36 +294,49 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
                             batch: int = 128, dectype: str = "sumprod2",
                             max_iters: int = 200,
                             mesh: Optional[jax.sharding.Mesh] = None,
-                            on_point=None):
+                            on_point=None, bp_backend: str = "auto",
+                            start_point: int = 0, start_snr=None,
+                            start_ctr: int = 0):
     """Adaptive-SNR BER waterfall measurement (sim(), ldpc_awgn.py:60-123).
 
     Per SNR point, decodes batches of `batch` random codewords until
     min_errors block errors (or max_blocks), then steps
     SNR += sqrt(p_step / nblocks) — the reference's heuristic (:116).
-    `on_point(record)` is called after each measured point (for the
-    resumable results store).
+    `on_point(record, ctr)` (the trailing ctr accepted optionally) is called
+    after each measured point, for the resumable results store.
 
-    Returns the list of measurement records in the reference's historical
+    Resume: pass start_point (first unmeasured point index), start_snr (the
+    SNR that point should measure at) and start_ctr (the running key
+    counter) — the values a ResultsStore recorded for the last measured
+    point — and the campaign continues exactly where the crashed run
+    stopped: same keys, same adaptive SNR trajectory, no duplicated points.
+
+    Returns the list of NEWLY measured records in the reference's historical
     10-field tuple schema (standard, rate, z, ptype, SNR, nblocks,
     nblockerrors, nbits, nbiterrors, niters) — the data/results.txt:1 /
     results2csv.c:49-50 format.
     """
+    import inspect
     from ..models.ldpc import get_code
     code = get_code(ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
                     ldpc_params.ptype)
     R = ldpc_params.rate_float
     snr = 10.0 * np.log10(2.0 ** R - 1.0) + c_awgn_offset
+    if start_snr is not None:
+        snr = float(start_snr)
     root = rngmod.root_key(seed)
     records = []
-    ctr = 0
-    for point in range(n_measurements):
+    ctr = int(start_ctr)
+    on_point_takes_ctr = (on_point is not None and
+                          len(inspect.signature(on_point).parameters) >= 2)
+    for point in range(int(start_point), n_measurements):
         nbit = nblk = nblocks = nit = 0
         while nblk < min_errors and nblocks < max_blocks:
             keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
                 jnp.arange(ctr, ctr + batch))
             ctr += batch
             be, bl, it = _ldpc_block_counts(code, snr, keys, max_iters,
-                                            dectype, mesh)
+                                            dectype, mesh, bp_backend)
             nbit += be
             nblk += bl
             nit += it
@@ -325,7 +345,11 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
                ldpc_params.ptype, float(snr), nblocks, nblk,
                nblocks * code.K, nbit, nit)
         records.append(rec)
-        if on_point is not None:
-            on_point(rec)
         snr += float(np.sqrt(p_step / nblocks))
+        if on_point is not None:
+            if on_point_takes_ctr:
+                on_point(rec, {"point": point, "next_snr": float(snr),
+                               "ctr": ctr})
+            else:
+                on_point(rec)
     return records

@@ -46,17 +46,47 @@ def trace(path: str = "/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
-def amp_iteration_flops(L: int, M: int, n: int) -> int:
+def fwht_width(L: int, M: int, n: int) -> int:
+    """Transform width w the design engine picks for a plain (1x1 base
+    matrix) code — mirrors SparcDesign.build (ops/transforms.py): the full
+    window [0, w) when the larger block side is already a power of two,
+    else next_pow2(large + 1) with the skip-row-0 offset-1 window."""
+    large = max(n, L * M)
+    if large & (large - 1) == 0:
+        return large
+    return 1 << large.bit_length()
+
+
+def amp_iteration_flops(L: int, M: int, n: int,
+                        max_log_factor: int | None = None) -> int:
     """FLOPs of one AMP iteration through the factored Hadamard design:
-    two FWHTs of length w (2 * w*log2(w) mults via the Kronecker matmuls,
-    counted as dense factor matmuls) plus the O(L*M) denoiser."""
-    w = 1 << (max(n + 1, L * M + 1) - 1).bit_length()
-    log_w = w.bit_length() - 1
-    # Kronecker chain: for factors f_i, cost = sum_i w * f_i MACs
-    from ..ops.wht import _factorize
-    factors = _factorize(log_w)
-    fwht = 2 * w * sum(factors)  # MACs*2
+    two FWHTs of width w, each a Kronecker chain of dense factor matmuls
+    costing sum_i (w * f_i) MACs = 2 * w * sum(factors) FLOPs, plus the
+    O(L*M) denoiser (exp/sum/div ~= 10 ops per entry)."""
+    from ..ops.wht import _factorize, get_fwht_options
+    if max_log_factor is None:
+        max_log_factor = get_fwht_options()[0]
+    w = fwht_width(L, M, n)
+    factors = _factorize(w.bit_length() - 1, max_log_factor)
+    fwht = 2 * w * sum(factors)  # MACs * 2
     return 2 * fwht + 10 * L * M
+
+
+def amp_iteration_hbm_bytes(L: int, M: int, n: int,
+                            max_log_factor: int | None = None,
+                            itemsize: int = 4) -> int:
+    """Minimum HBM traffic of one AMP iteration, assuming each Kronecker
+    matmul stage reads + writes the full w-state once (XLA fuses the
+    scatter/gather/scale elementwise chain into the neighboring matmuls)
+    plus one read/write of the L*M state for the denoiser. This is the
+    denominator of the memory-roofline estimate in docs/ROOFLINE.md."""
+    from ..ops.wht import _factorize, get_fwht_options
+    if max_log_factor is None:
+        max_log_factor = get_fwht_options()[0]
+    w = fwht_width(L, M, n)
+    stages = len(_factorize(w.bit_length() - 1, max_log_factor))
+    per_transform = 2 * stages * w * itemsize     # read + write per stage
+    return 2 * per_transform + 2 * L * M * itemsize
 
 
 def bp_iteration_flops(E: int, z: int, dc_max: int, Mp: int) -> int:

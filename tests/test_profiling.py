@@ -1,0 +1,63 @@
+"""Tests of the profiling harness (utils/profiling.py).
+
+The FLOP/byte models are the denominators of docs/ROOFLINE.md; they must
+track the design engine's actual layout choices (ops/transforms.py
+SparcDesign.build) and the FWHT factorization (ops/wht.py _factorize).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldpc_sparc_tpu.ops import wht
+from ldpc_sparc_tpu.ops.transforms import SparcDesign
+from ldpc_sparc_tpu.utils import profiling
+
+
+def test_fwht_width_matches_design_engine():
+    # flagship: L*M = 2^19 is a power of two -> full-window w = 2^19
+    import numpy as np
+    W = np.array([[15.0]])
+    L, M = 1024, 512
+    n = int(L * 9 / 1.0)  # bit_len / R with logM=9
+    d = SparcDesign.build(W, L, M, n, seed=0)
+    assert profiling.fwht_width(L, M, n) == d.w
+    # non-pow2 large side: next_pow2(large + 1)
+    L2, M2 = 1000, 32
+    n2 = 20000
+    d2 = SparcDesign.build(W, L2, M2, n2, seed=0)
+    assert profiling.fwht_width(L2, M2, n2) == d2.w
+
+
+@pytest.mark.parametrize("mlf", [5, 7, 10])
+def test_amp_iteration_flops_runs_and_scales(mlf):
+    L, M, n = 1024, 512, 9216
+    f = profiling.amp_iteration_flops(L, M, n, max_log_factor=mlf)
+    w = profiling.fwht_width(L, M, n)
+    factors = wht._factorize(w.bit_length() - 1, mlf)
+    assert f == 2 * (2 * w * sum(factors)) + 10 * L * M
+    # defaults to the live FWHT option
+    wht.set_fwht_options(max_log_factor=mlf)
+    try:
+        assert profiling.amp_iteration_flops(L, M, n) == f
+    finally:
+        wht.set_fwht_options(max_log_factor=7)
+
+
+def test_amp_iteration_hbm_bytes_monotone_in_stages():
+    # fewer Kronecker stages (larger factors) => less HBM traffic
+    b_small_factors = profiling.amp_iteration_hbm_bytes(1024, 512, 9216,
+                                                        max_log_factor=5)
+    b_large_factors = profiling.amp_iteration_hbm_bytes(1024, 512, 9216,
+                                                        max_log_factor=10)
+    assert b_large_factors < b_small_factors
+
+
+def test_bp_iteration_flops_positive():
+    assert profiling.bp_iteration_flops(E=88, z=27, dc_max=8, Mp=12) > 0
+
+
+def test_timed_returns_result_and_time():
+    f = jax.jit(lambda x: x * 2.0)
+    out, dt = profiling.timed(f, jnp.ones(8))
+    assert dt >= 0.0
+    assert jnp.allclose(out, 2.0)
