@@ -42,17 +42,7 @@ def timeit(fn, *args, reps=3, windows=4):
     return best, out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--standard", default="802.11n")
-    ap.add_argument("--rate", default="1/2")
-    ap.add_argument("--z", type=int, default=27)
-    ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--snr", type=float, default=3.0)
-    ap.add_argument("--max-iters", type=int, default=200)
-    ap.add_argument("--method", default="sumprod2")
-    args = ap.parse_args()
-
+def check_config(standard, rate, z, batch, snr, max_iters, method):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,24 +50,23 @@ def main():
     from ldpc_sparc_tpu.ops.bp import bp_decode
     from ldpc_sparc_tpu.ops.bp_pallas import bp_decode_pallas
 
-    platform = jax.devices()[0].platform
-    code = get_code(args.standard, args.rate, args.z)
-    B = args.batch
+    code = get_code(standard, rate, z)
+    B = batch
 
     key = jax.random.key(42)
     kb = jax.random.split(key, B)
     us = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (code.K,))
                   .astype(jnp.int32))(kb)
     xs = code.encode(us)
-    sigma2 = 1.0 / 10 ** (args.snr / 10)
+    sigma2 = 1.0 / 10 ** (snr / 10)
     ys = (1.0 - 2.0 * xs) + jnp.sqrt(sigma2) * jax.vmap(
         lambda k: jax.random.normal(k, (code.N,)))(kb)
     llr = (2.0 / sigma2 * ys).astype(jnp.float32)
 
-    xla_fn = jax.jit(lambda l: bp_decode(l, code.graph, args.max_iters,
-                                         args.method))
-    pal_fn = jax.jit(lambda l: bp_decode_pallas(l, code.graph, args.max_iters,
-                                                args.method))
+    xla_fn = jax.jit(lambda l: bp_decode(l, code.graph, max_iters,
+                                         method, backend="xla"))
+    pal_fn = jax.jit(lambda l: bp_decode_pallas(l, code.graph, max_iters,
+                                                method))
 
     dt_xla, r_xla = timeit(xla_fn, llr)
     dt_pal, r_pal = timeit(pal_fn, llr)
@@ -94,12 +83,10 @@ def main():
         (np.abs(np.asarray(r_xla.app)) + 1e-3)))
     block_errs = int(np.sum((dec_xla != np.asarray(xs, bool)).any(axis=1)))
 
-    result = {
-        "platform": platform,
-        "config": f"{args.standard} {args.rate} z={args.z} "
-                  f"{args.method} SNR={args.snr}dB",
+    return {
+        "config": f"{standard} {rate} z={z} {method} SNR={snr}dB",
         "batch": B,
-        "max_iters": args.max_iters,
+        "max_iters": max_iters,
         "iterations_exact": iter_match,
         "decisions_exact": dec_match,
         "app_max_rel_diff": round(app_max_rel, 6),
@@ -111,15 +98,52 @@ def main():
         "ref_baseline_ms_per_block": 138.0,
         "pallas_vs_ref": round(138.0 / (dt_pal / B * 1e3), 1),
     }
-    print(json.dumps(result))
 
+
+# default rows: the 2018 profile's operating point (the 138 ms/block
+# baseline), a high-rate z=81 point, and the reference concat experiment's
+# z=150 code (the VMEM-pressure case the in-place kernel exists for)
+DEFAULT_CONFIGS = [
+    ("802.11n", "1/2", 27, 512, 3.0),
+    ("802.11n", "5/6", 81, 512, 5.0),
+    ("802.16", "1/2", 150, 128, 3.0),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--standard", default=None,
+                    help="run ONE config instead of the default rows")
+    ap.add_argument("--rate", default="1/2")
+    ap.add_argument("--z", type=int, default=27)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--snr", type=float, default=3.0)
+    ap.add_argument("--max-iters", type=int, default=200)
+    ap.add_argument("--method", default="sumprod2")
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    if args.standard is not None:
+        configs = [(args.standard, args.rate, args.z, args.batch, args.snr)]
+    else:
+        configs = DEFAULT_CONFIGS
+
+    rows = []
+    for standard, rate, z, batch, snr in configs:
+        row = check_config(standard, rate, z, batch, snr, args.max_iters,
+                           args.method)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    result = {"platform": platform, "rows": rows}
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "artifacts",
         "bp_pallas_tpu_check.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
 
-    if not (iter_match and dec_match):
+    if not all(r["iterations_exact"] and r["decisions_exact"] for r in rows):
         print("MISMATCH between Pallas and XLA BP", file=sys.stderr)
         sys.exit(1)
 
