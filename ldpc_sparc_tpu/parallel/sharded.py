@@ -33,28 +33,32 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..config import SparcParams, DecodeParams, create_base_matrix
-from ..ops.wht import fwht
-from ..ops.transforms import SparcDesign, generate_block_randomness
+from ..ops.transforms import SparcDesign
 from ..ops.denoiser import mmse_denoise, map_estimate
+from ..models.sparc import awgn_channel
 from ..utils import bits as bitops
 from ..utils import rng as rngmod
 
 
 class ShardedDesign:
-    """Column-major-ordered design blocks, shardable along the 'sec' axis."""
+    """Column-major-ordered view of a `SparcDesign`, shardable along 'sec'.
+
+    Wraps the SAME engine as the unsharded path (`SparcDesign.build`: one
+    seeded randomness stream, the pow-2 full-window/offset-0 layout, tall
+    blocks via the `tall` flag) and only permutes the per-block leaves
+    column-major so each 'sec' shard owns contiguous column groups. The
+    operator it realizes is bit-identical to the unsharded design for the
+    same seed (tests/test_parallel.py::test_sharded_design_matches_unsharded).
+    """
 
     def __init__(self, params: SparcParams, awgn_var: float, seed):
         W = create_base_matrix(params, awgn_var)
-        Lr, Lc = W.shape
         L, M = params.L, params.M
         n = params.codeword_length()
-        Mr, Mc = n // Lr, (L * M) // Lc
-        # reuse the row-major randomness generator, then sort blocks
-        # column-major so the 'sec' shards own contiguous column groups
-        w = 1 << (max(Mr + 1, Mc + 1) - 1).bit_length()
-        assert Mr <= Mc, ("section-sharded designs assume wide blocks "
-                          "(Mr <= Mc); SC/plain configs satisfy this")
-        rows, cols, ridx, sgns = generate_block_randomness(W, Mr, Mc, w, seed)
+        design = SparcDesign.build(W, L, M, n, seed)
+        Lr, Lc, Mr, Mc = design.Lr, design.Lc, design.Mr, design.Mc
+        rows = np.asarray(design.rows, np.int32)
+        cols = np.asarray(design.cols, np.int32)
         order = np.lexsort((rows, cols))  # column-major
         rows, cols = rows[order], cols[order]
         per_col = np.bincount(cols, minlength=Lc)
@@ -63,12 +67,14 @@ class ShardedDesign:
         self.blocks_per_col = int(per_col[0])
         self.W = W
         self.params = params
-        self.Lr, self.Lc, self.Mr, self.Mc, self.w, self.n = Lr, Lc, Mr, Mc, w, n
-        self.rows = jnp.asarray(rows.astype(np.int32))
-        self.cols = jnp.asarray(cols.astype(np.int32))
-        self.idx = jnp.asarray(ridx[order])
-        self.signs = jnp.asarray(sgns[order])
-        self.scale = jnp.asarray(np.sqrt(W[rows, cols] / L).astype(np.float32))
+        self.design = design  # static metadata donor (leaves replaced per shard)
+        self.Lr, self.Lc, self.Mr, self.Mc = Lr, Lc, Mr, Mc
+        self.w, self.n = design.w, n
+        self.rows = jnp.asarray(rows)
+        self.cols = jnp.asarray(cols)
+        self.idx = design.idx[order]
+        self.signs = design.signs[order]
+        self.scale = design.scale[order]
 
 
 def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
@@ -83,34 +89,16 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
     sd = ShardedDesign(params, awgn_var, seed)
     n_sec = mesh.shape["sec"]
     n_dp = mesh.shape["dp"]
-    Lr, Lc, Mr, Mc, w, n = sd.Lr, sd.Lc, sd.Mr, sd.Mc, sd.w, sd.n
+    Lr, Lc, Mr, Mc, n = sd.Lr, sd.Lc, sd.Mr, sd.Mc, sd.n
     L, M, K = params.L, params.M, params.K
     assert Lc % n_sec == 0, f"sec axis {n_sec} must divide Lc={Lc}"
     Lc_loc = Lc // n_sec
-    E_loc = Lc_loc * sd.blocks_per_col
     sec_per_col = L // Lc
     bits_per_col_block = (L // Lc) * params.sec_size
     t_max, rtol = decode.t_max, decode.rtol
     atol = 2 * float(np.finfo(np.float32).resolution)
     Wj = jnp.asarray(sd.W, jnp.float32)           # (Lr, Lc) replicated
-
-    def fwd_blocks(vals, row_idx, signs, scale):
-        """(E_loc, Mc) -> (E_loc, Mr): SRHT forward (sign, pad, FWHT,
-        row gather) — see ops/transforms.py."""
-        X = jnp.pad(vals * signs, ((0, 0), (1, w - 1 - Mc)))
-        Y = fwht(X)
-        out = Y.at[jnp.arange(vals.shape[0])[:, None], row_idx].get(
-            indices_are_sorted=True, unique_indices=True)
-        return out * scale[:, None]
-
-    def adj_blocks(vals, row_idx, signs, scale):
-        """(E_loc, Mr) -> (E_loc, Mc): SRHT adjoint (row scatter, FWHT,
-        contiguous slice, sign)."""
-        X = jnp.zeros((vals.shape[0], w), vals.dtype)
-        X = X.at[jnp.arange(vals.shape[0])[:, None], row_idx].set(
-            vals, indices_are_sorted=True, unique_indices=True)
-        Y = fwht(X)
-        return Y[:, 1:Mc + 1] * signs * scale[:, None]
+    cdtype = jnp.complex64 if params.is_complex else jnp.float32
 
     def trial(key, row_idx, signs, scale, rows_l, cols_l, W_loc, dev_col0):
         """One trial with local column blocks. cols_l are local (0-based).
@@ -119,16 +107,19 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
         """
         kb = rngmod.derive(key, rngmod.BITS)
         kc = rngmod.derive(key, rngmod.CHANNEL)
+        # the ONE design-block engine (ops/transforms.py), restricted to
+        # this shard's leaves; static layout (w, offset, tall) rides along
+        d_loc = sd.design.with_leaves(row_idx, signs, scale)
 
         def ab(beta_loc):
             xb = beta_loc.reshape(Lc_loc, Mc)
-            parts = fwd_blocks(xb[cols_l], row_idx, signs, scale)  # (E_loc, Mr)
+            parts = d_loc._fwd_blocks(xb[cols_l])                 # (E_loc, Mr)
             out = jax.ops.segment_sum(parts, rows_l, num_segments=Lr)
             return jax.lax.psum(out.reshape(n), "sec")
 
         def az(z):
             zb = z.reshape(Lr, Mr)
-            parts = adj_blocks(zb[rows_l], row_idx, signs, scale)  # (E_loc, Mc)
+            parts = d_loc._adj_blocks(zb[rows_l])                 # (E_loc, Mc)
             return jax.ops.segment_sum(parts, cols_l,
                                        num_segments=Lc_loc).reshape(Lc_loc * Mc)
 
@@ -140,10 +131,9 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
         bits_loc = jax.vmap(lambda k: bitops.random_bits(
             k, bits_per_col_block))(kb_cols)                      # (Lc_loc, bits)
         beta0 = jax.vmap(lambda b: bitops.bits_to_msg_vector(b, M, K))(
-            bits_loc).reshape(Lc_loc * Mc)
+            bits_loc).reshape(Lc_loc * Mc).astype(cdtype)
         x = ab(beta0)
-        noise = jnp.sqrt(awgn_var) * jax.random.normal(kc, (n,))
-        y = x + noise
+        y = awgn_channel(x, awgn_var, kc)
 
         # --- AMP with sharded sections ---
         def rep_r(v):
@@ -162,9 +152,9 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
             if decode.phi_est_method == 1:
                 phi = awgn_var + gamma
             else:
-                phi = jnp.mean(z_new.reshape(Lr, Mr) ** 2, axis=1)
+                phi = jnp.mean(jnp.abs(z_new).reshape(Lr, Mr) ** 2, axis=1)
             tau_loc = (L / Mr) / (W_loc.T @ (1.0 / phi))          # (Lc_loc,)
-            s = beta + rep_c(tau_loc) * az(z_new / rep_r(phi))
+            s = beta + rep_c(tau_loc) * az(z_new / rep_r(phi).astype(z_new.dtype))
             beta_new = mmse_denoise(s, rep_c(1.0 / tau_loc), M, K)
             psi_new = 1.0 - jnp.sum(
                 jnp.abs(beta_new).reshape(Lc_loc, Mc) ** 2, axis=1) / sec_per_col
@@ -178,8 +168,8 @@ def make_sharded_sim_step(params: SparcParams, decode: DecodeParams,
                     stopped | converged,
                     jnp.where(stopped, t_final, t + 1)), None
 
-        init = (jnp.zeros(Lc_loc * Mc), jnp.zeros(n),
-                jnp.zeros(Lc_loc * Mc), jnp.ones(Lr, jnp.float32),
+        init = (jnp.zeros(Lc_loc * Mc, cdtype), jnp.zeros(n, cdtype),
+                jnp.zeros(Lc_loc * Mc, cdtype), jnp.ones(Lr, jnp.float32),
                 jnp.ones(Lc_loc, jnp.float32), jnp.asarray(False),
                 jnp.asarray(0))
         (beta, _, s, _, _, _, t_final), _ = jax.lax.scan(
