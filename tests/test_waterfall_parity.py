@@ -64,14 +64,18 @@ def measure_ber(code, snr_db, n_blocks, seed):
 
 @pytest.mark.skipif(not REF_CSV.exists(),
                     reason="reference campaign data not available")
-@pytest.mark.parametrize("standard,rate,rate_f,z", [
-    ("16", "1/2", 0.5, 3),
-    ("11", "1/2", 0.5, 27),
+@pytest.mark.parametrize("standard,rate,rate_f,z,ptype", [
+    ("16", "1/2", 0.5, 3, "A"),
+    ("11", "1/2", 0.5, 27, "A"),
+    ("11", "5/6", 0.833333, 81, "A"),   # high rate + largest 802.11n z
+    ("11", "3/4", 0.75, 54, "A"),
+    ("16", "2/3", 0.666667, 27, "B"),   # type-B protograph family
+    ("16", "3/4", 0.75, 81, "B"),
 ])
-def test_ber_matches_reference_campaign(standard, rate, rate_f, z):
+def test_ber_matches_reference_campaign(standard, rate, rate_f, z, ptype):
     std_name = "802.16" if standard == "16" else "802.11n"
-    code = get_code(std_name, rate, z)
-    pts = load_reference_points(standard, rate_f, 0, z)
+    code = get_code(std_name, rate, z, ptype)
+    pts = load_reference_points(standard, rate_f, 0 if ptype == "A" else 1, z)
     assert len(pts) >= 8, "expected a measured waterfall for this config"
 
     # sample the waterfall: a high-BER point, a mid point, and a low point
