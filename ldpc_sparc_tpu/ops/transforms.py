@@ -114,7 +114,8 @@ def generate_block_randomness(W: np.ndarray, Mr: int, Mc: int, w: int,
 
 def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
                w: int, in_dim: int, out_dim: int,
-               idx_side_is_input: bool, offset: int = 1) -> jnp.ndarray:
+               idx_side_is_input: bool, offset: int = 1,
+               scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched per-block SRHT product, (E, in_dim) -> (E, out_dim).
 
     idx_side_is_input: whether the random index set addresses the input
@@ -122,27 +123,50 @@ def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
     side is the signed contiguous window [offset, dim+offset) — offset 0 is
     the full-width true-SRHT window used when the window side is itself a
     power of two (halving w vs the offset-1 skip-row-0 layout).
+
+    scale: optional (E,) per-block multipliers, fused into the transform
+    (the Pallas backend applies them on the VMEM-resident block; the XLA
+    backend lets the compiler fuse the broadcast multiply).
+
+    Backend: offset-0 full-window real transforms on TPU route through the
+    fused Pallas kernel (ops/wht_pallas.py) — one VMEM-resident two-matmul
+    FWHT with the sign diagonal and scale fused; everything else uses the
+    XLA Kronecker chain (ops/wht.py:fwht).
     """
+    from .wht_pallas import use_pallas_srht, fwht_signed_scaled
+
     E = vals.shape[0]
+    is_cx = jnp.iscomplexobj(vals)
     if idx_side_is_input:
         X = jnp.zeros((E, w), dtype=vals.dtype)
         X = X.at[jnp.arange(E)[:, None], idx].set(
             vals, indices_are_sorted=True, unique_indices=True)
+        if use_pallas_srht(w, offset, out_dim == w, is_cx):
+            ones = jnp.ones((E,), jnp.float32) if scale is None else scale
+            return fwht_signed_scaled(X, signs, ones, w, apply_pre=False)
         Y = fwht(X)
         if offset == 0 and out_dim == w:
             win = Y
         else:
             win = Y[:, offset:out_dim + offset]
-        return win * signs.astype(vals.dtype)
+        out = win * signs.astype(vals.dtype)
     else:
+        if use_pallas_srht(w, offset, in_dim == w, is_cx):
+            ones = jnp.ones((E,), jnp.float32) if scale is None else scale
+            return fwht_signed_scaled(vals, signs, ones, w, apply_pre=True
+                                      ).at[jnp.arange(E)[:, None], idx].get(
+                indices_are_sorted=True, unique_indices=True)
         signed = vals * signs.astype(vals.dtype)
         if offset == 0 and in_dim == w:
             X = signed
         else:
             X = jnp.pad(signed, ((0, 0), (offset, w - offset - in_dim)))
         Y = fwht(X)
-        return Y.at[jnp.arange(E)[:, None], idx].get(
+        out = Y.at[jnp.arange(E)[:, None], idx].get(
             indices_are_sorted=True, unique_indices=True)
+    if scale is not None:
+        out = out * scale[:, None].astype(out.dtype)
+    return out
 
 
 @jax.tree_util.register_pytree_node_class
@@ -240,18 +264,16 @@ class SparcDesign:
 
     def _fwd_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
         """(E, Mc) column-block values -> (E, Mr) row-block contributions."""
-        out = srht_apply(vals, self.idx, self.signs, self.w, self.Mc,
-                         self.Mr, idx_side_is_input=self.tall,
-                         offset=self.offset)
-        return out * self.scale[:, None].astype(out.dtype)
+        return srht_apply(vals, self.idx, self.signs, self.w, self.Mc,
+                          self.Mr, idx_side_is_input=self.tall,
+                          offset=self.offset, scale=self.scale)
 
     def _adj_blocks(self, vals: jnp.ndarray) -> jnp.ndarray:
         """(E, Mr) row-block values -> (E, Mc) column-block contributions
         (H symmetric: the adjoint swaps which side is scatter/gather)."""
-        out = srht_apply(vals, self.idx, self.signs, self.w, self.Mr,
-                         self.Mc, idx_side_is_input=not self.tall,
-                         offset=self.offset)
-        return out * self.scale[:, None].astype(out.dtype)
+        return srht_apply(vals, self.idx, self.signs, self.w, self.Mr,
+                          self.Mc, idx_side_is_input=not self.tall,
+                          offset=self.offset, scale=self.scale)
 
     def ab(self, beta: jnp.ndarray) -> jnp.ndarray:
         """A @ beta. beta: (..., L*M) -> (..., n).

@@ -1,0 +1,152 @@
+"""Fused Pallas SRHT block kernel — the north-star AMP design product.
+
+One kernel per design block computes the full width-w Walsh-Hadamard
+transform with the sign diagonal and block scale fused, keeping the whole
+2^19-element state VMEM-resident:
+
+    H_w = H_a (x) H_b   (Sylvester Kronecker)   =>
+    FWHT(x)  =  H_a @ X @ H_b     with X the (a, b) row-major view of x
+
+so the entire transform is TWO MXU matmuls on one VMEM block — no
+per-stage HBM round trips and none of the moveaxis relayouts the XLA
+Kronecker chain (ops/wht.py:fwht) pays between stages. The +-1 sign
+diagonal (pre for the forward product, post for the adjoint) and the
+sqrt(W/L)/L block scale ride along as VPU elementwise ops on the resident
+block, so the only HBM traffic per transform is one read of x and one
+write of y (plus the bf16 sign plane).
+
+Matmuls run on the MXU in bfloat16 with float32 accumulation: Hadamard
+entries are +-1 (exact in bf16) and the activation rounding (~2^-8
+relative) sits ~40 dB under the AWGN operating noise — the same accuracy
+budget as the XLA path's bfloat16 knob (ops/wht.py matmul_dtype), gated
+end-to-end by the bench BER check. Pass LDPC_SPARC_FWHT_DTYPE=float32 to
+keep full f32 matmuls.
+
+Used automatically by ops/transforms.srht_apply for offset-0 (power-of-two
+window) designs on TPU — the flagship L=1024, M=512 code — with the
+random-subset gather/scatter of the SMALL side (~9k of 524k elements)
+left to XLA around the kernel, where it costs a few tens of KB of HBM
+traffic. Ref: sparc_public/sparc.py:883-999 (the AMP hot loop this
+serves); BASELINE.json north_star.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wht import hadamard_factor
+
+# Backend knobs (read at trace time; see also ops/wht.py set_fwht_options)
+_FWHT_BACKEND = os.environ.get("LDPC_SPARC_FWHT_BACKEND", "auto")
+_FWHT_PALLAS_DTYPE = os.environ.get("LDPC_SPARC_FWHT_DTYPE", "bfloat16")
+
+# Pallas path bounds: below 2^14 the XLA chain is already cheap (and tiny
+# widths break the (8,128) tiling); above 2^20 the H_b factor alone
+# outgrows a sensible VMEM budget.
+_MIN_LOG_W = 14
+_MAX_LOG_W = 20
+
+
+def set_fwht_backend(backend: str | None = None, dtype: str | None = None):
+    global _FWHT_BACKEND, _FWHT_PALLAS_DTYPE
+    if backend is not None:
+        assert backend in ("auto", "xla", "pallas")
+        _FWHT_BACKEND = backend
+    if dtype is not None:
+        assert dtype in ("float32", "bfloat16")
+        _FWHT_PALLAS_DTYPE = dtype
+
+
+def use_pallas_srht(w: int, offset: int, window_is_w: bool,
+                    is_complex: bool) -> bool:
+    """Decide whether srht_apply should route through the fused kernel."""
+    if _FWHT_BACKEND == "xla" or is_complex:
+        return False
+    ok_shape = (offset == 0 and window_is_w
+                and _MIN_LOG_W <= (w.bit_length() - 1) <= _MAX_LOG_W)
+    if _FWHT_BACKEND == "pallas":
+        return ok_shape
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at trace time
+        return False
+    return ok_shape and platform == "tpu"
+
+
+def _split_ab(w: int) -> tuple[int, int]:
+    """w = a * b with a <= b, both powers of two (a=512, b=1024 at 2^19)."""
+    log_w = w.bit_length() - 1
+    a = 1 << (log_w // 2)
+    return a, w // a
+
+
+def _kernel(apply_pre: bool, mm: jnp.dtype):
+    """y = Ha @ (x * signs?) @ Hb [* signs?] * scale, one (a, b) block."""
+
+    def kernel(x_ref, ha_ref, hb_ref, signs_ref, scale_ref, o_ref):
+        x = x_ref[0]
+        s = signs_ref[0].astype(jnp.float32)
+        if apply_pre:
+            x = x * s
+        t = jnp.dot(x.astype(mm), hb_ref[...],
+                    preferred_element_type=jnp.float32)       # (a, b) = X @ Hb
+        y = jnp.dot(ha_ref[...], t.astype(mm),
+                    preferred_element_type=jnp.float32)       # Ha @ (X Hb)
+        if not apply_pre:
+            y = y * s
+        o_ref[0] = y * scale_ref[0, 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("w", "apply_pre", "interpret"))
+def fwht_signed_scaled(x: jnp.ndarray, signs: jnp.ndarray,
+                       scale: jnp.ndarray, w: int,
+                       apply_pre: bool, interpret: bool = False) -> jnp.ndarray:
+    """Fused FWHT over the last axis of x: (E, w) -> (E, w).
+
+    apply_pre=True : y[e] = FWHT(x[e] * signs[e]) * scale[e]   (forward)
+    apply_pre=False: y[e] = FWHT(x[e]) * signs[e] * scale[e]   (adjoint)
+
+    signs: (E, w) +-1; scale: (E,) per-block scalars.
+    """
+    E = x.shape[0]
+    a, b = _split_ab(w)
+    mm = jnp.bfloat16 if _FWHT_PALLAS_DTYPE == "bfloat16" else jnp.float32
+    xv = x.reshape(E, a, b).astype(jnp.float32)
+    sv = signs.reshape(E, a, b).astype(mm)   # +-1: exact in bf16
+    ha = hadamard_factor(a, mm)
+    hb = hadamard_factor(b, mm)
+    sc = scale.reshape(E, 1, 1).astype(jnp.float32)
+
+    flops = 2 * (a * b * b + a * a * b) + 3 * a * b
+    out = pl.pallas_call(
+        _kernel(apply_pre, mm),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, a, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=E * flops,
+            bytes_accessed=E * a * b * (4 + 4 + jnp.dtype(mm).itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(xv, ha, hb, sv, sc)
+    return out.reshape(E, w).astype(x.dtype)
