@@ -132,7 +132,9 @@ def main():
     with open(out_path, "w") as f:
         json.dump(row, f, indent=1)
 
-    tol = 0.02 if args.dtype == "bfloat16" else 1e-4
+    # bf16 inputs with f32 accumulation across a width-2^19 two-sided
+    # product: relative error ~sqrt(w)*2^-9 on near-cancelling outputs
+    tol = 0.04 if args.dtype == "bfloat16" else 1e-4
     if row["pair_rel_err"] > tol or row["pallas"]["ber"] > 0.0:
         print("MISMATCH between Pallas and XLA design products",
               file=sys.stderr)

@@ -133,40 +133,43 @@ def srht_apply(vals: jnp.ndarray, idx: jnp.ndarray, signs: jnp.ndarray,
     FWHT with the sign diagonal and scale fused; everything else uses the
     XLA Kronecker chain (ops/wht.py:fwht).
     """
-    from .wht_pallas import use_pallas_srht, fwht_signed_scaled
+    from .wht_pallas import use_pallas_srht, fwht_signed
 
     E = vals.shape[0]
     is_cx = jnp.iscomplexobj(vals)
     if idx_side_is_input:
+        # scale commutes through the linear transform: apply it on the
+        # small scattered side, O(small) instead of O(w)
+        if scale is not None:
+            vals = vals * scale[:, None].astype(vals.dtype)
         X = jnp.zeros((E, w), dtype=vals.dtype)
         X = X.at[jnp.arange(E)[:, None], idx].set(
             vals, indices_are_sorted=True, unique_indices=True)
         if use_pallas_srht(w, offset, out_dim == w, is_cx):
-            ones = jnp.ones((E,), jnp.float32) if scale is None else scale
-            return fwht_signed_scaled(X, signs, ones, w, apply_pre=False)
+            return fwht_signed(X, signs, w, apply_pre=False)
         Y = fwht(X)
         if offset == 0 and out_dim == w:
             win = Y
         else:
             win = Y[:, offset:out_dim + offset]
-        out = win * signs.astype(vals.dtype)
+        return win * signs.astype(vals.dtype)
     else:
         if use_pallas_srht(w, offset, in_dim == w, is_cx):
-            ones = jnp.ones((E,), jnp.float32) if scale is None else scale
-            return fwht_signed_scaled(vals, signs, ones, w, apply_pre=True
-                                      ).at[jnp.arange(E)[:, None], idx].get(
+            out = fwht_signed(vals, signs, w, apply_pre=True
+                              ).at[jnp.arange(E)[:, None], idx].get(
                 indices_are_sorted=True, unique_indices=True)
-        signed = vals * signs.astype(vals.dtype)
-        if offset == 0 and in_dim == w:
-            X = signed
         else:
-            X = jnp.pad(signed, ((0, 0), (offset, w - offset - in_dim)))
-        Y = fwht(X)
-        out = Y.at[jnp.arange(E)[:, None], idx].get(
-            indices_are_sorted=True, unique_indices=True)
-    if scale is not None:
-        out = out * scale[:, None].astype(out.dtype)
-    return out
+            signed = vals * signs.astype(vals.dtype)
+            if offset == 0 and in_dim == w:
+                X = signed
+            else:
+                X = jnp.pad(signed, ((0, 0), (offset, w - offset - in_dim)))
+            Y = fwht(X)
+            out = Y.at[jnp.arange(E)[:, None], idx].get(
+                indices_are_sorted=True, unique_indices=True)
+        if scale is not None:
+            out = out * scale[:, None].astype(out.dtype)
+        return out
 
 
 @jax.tree_util.register_pytree_node_class

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 # Defaults; override with set_fwht_options() or the environment variables
 # LDPC_SPARC_WHT_MAX_LOG_FACTOR / LDPC_SPARC_WHT_DTYPE (read at import).
-_MAX_LOG_FACTOR = int(os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "7"))
+_MAX_LOG_FACTOR = int(os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "5"))
 _MATMUL_DTYPE = os.environ.get("LDPC_SPARC_WHT_DTYPE", "float32")
 
 

@@ -88,9 +88,9 @@ def _split_ab(w: int) -> tuple[int, int]:
 
 
 def _kernel(apply_pre: bool, mm: jnp.dtype):
-    """y = Ha @ (x * signs?) @ Hb [* signs?] * scale, one (a, b) block."""
+    """y = Ha @ (x * signs?) @ Hb [* signs?], one (a, b) block."""
 
-    def kernel(x_ref, ha_ref, hb_ref, signs_ref, scale_ref, o_ref):
+    def kernel(x_ref, ha_ref, hb_ref, signs_ref, o_ref):
         x = x_ref[0]
         s = signs_ref[0].astype(jnp.float32)
         if apply_pre:
@@ -101,21 +101,22 @@ def _kernel(apply_pre: bool, mm: jnp.dtype):
                     preferred_element_type=jnp.float32)       # Ha @ (X Hb)
         if not apply_pre:
             y = y * s
-        o_ref[0] = y * scale_ref[0, 0]
+        o_ref[0] = y
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("w", "apply_pre", "interpret"))
-def fwht_signed_scaled(x: jnp.ndarray, signs: jnp.ndarray,
-                       scale: jnp.ndarray, w: int,
-                       apply_pre: bool, interpret: bool = False) -> jnp.ndarray:
+def fwht_signed(x: jnp.ndarray, signs: jnp.ndarray, w: int,
+                apply_pre: bool, interpret: bool = False) -> jnp.ndarray:
     """Fused FWHT over the last axis of x: (E, w) -> (E, w).
 
-    apply_pre=True : y[e] = FWHT(x[e] * signs[e]) * scale[e]   (forward)
-    apply_pre=False: y[e] = FWHT(x[e]) * signs[e] * scale[e]   (adjoint)
+    apply_pre=True : y[e] = FWHT(x[e] * signs[e])   (forward / window-in)
+    apply_pre=False: y[e] = FWHT(x[e]) * signs[e]   (adjoint / window-out)
 
-    signs: (E, w) +-1; scale: (E,) per-block scalars.
+    signs: (E, w) +-1. The per-block sqrt(W/L) scale is NOT applied here —
+    it commutes through the linear transform, so srht_apply applies it on
+    the small (random-index) side where it costs O(small) instead of O(w).
     """
     E = x.shape[0]
     a, b = _split_ab(w)
@@ -124,9 +125,8 @@ def fwht_signed_scaled(x: jnp.ndarray, signs: jnp.ndarray,
     sv = signs.reshape(E, a, b).astype(mm)   # +-1: exact in bf16
     ha = hadamard_factor(a, mm)
     hb = hadamard_factor(b, mm)
-    sc = scale.reshape(E, 1, 1).astype(jnp.float32)
 
-    flops = 2 * (a * b * b + a * a * b) + 3 * a * b
+    flops = 2 * (a * b * b + a * a * b) + 2 * a * b
     out = pl.pallas_call(
         _kernel(apply_pre, mm),
         grid=(E,),
@@ -137,8 +137,6 @@ def fwht_signed_scaled(x: jnp.ndarray, signs: jnp.ndarray,
             pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -148,5 +146,5 @@ def fwht_signed_scaled(x: jnp.ndarray, signs: jnp.ndarray,
             bytes_accessed=E * a * b * (4 + 4 + jnp.dtype(mm).itemsize),
             transcendentals=0),
         interpret=interpret,
-    )(xv, ha, hb, sv, sc)
+    )(xv, ha, hb, sv)
     return out.reshape(E, w).astype(x.dtype)

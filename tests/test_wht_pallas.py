@@ -32,14 +32,12 @@ def test_fused_kernel_matches_xla_chain(w, E, apply_pre):
     rng = np.random.default_rng(w + apply_pre)
     x = jnp.asarray(rng.normal(size=(E, w)), jnp.float32)
     signs = jnp.asarray(rng.integers(0, 2, (E, w)) * 2 - 1, jnp.float32)
-    scale = jnp.asarray(rng.uniform(0.5, 2.0, (E,)), jnp.float32)
 
-    got = wht_pallas.fwht_signed_scaled(x, signs, scale, w, apply_pre,
-                                        interpret=True)
+    got = wht_pallas.fwht_signed(x, signs, w, apply_pre, interpret=True)
     if apply_pre:
-        want = fwht(x * signs) * scale[:, None]
+        want = fwht(x * signs)
     else:
-        want = fwht(x) * signs * scale[:, None]
+        want = fwht(x) * signs
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-3)
 
