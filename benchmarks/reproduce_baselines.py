@@ -58,6 +58,12 @@ def main():
 
     dec = DecodeParams(t_max=25)
 
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     def trial_row(name, params, ref, tmax=25):
         d = DecodeParams(t_max=tmax)
 
@@ -66,10 +72,10 @@ def main():
             return r["nmse"]
         dt = timed(run)
         r = sparc_sim(params, d, 1.0, seed=1)
-        print(json.dumps({
+        emit({
             "row": name, "s_per_run": round(dt, 4), "reference_s": ref,
             "speedup": round(np.mean(ref) / dt, 1),
-            "ber": float(r["ber"]), "t_final": int(r["t_final"])}))
+            "ber": float(r["ber"]), "t_final": int(r["t_final"])})
 
     trial_row("plain SPARC trial",
               SparcParams(P=15.0, R=1.3, L=1024, M=32), [0.049, 0.117])
@@ -97,9 +103,9 @@ def main():
     def enc():
         return code.encode(jnp.asarray(us))
     dt = timed(enc)
-    print(json.dumps({"row": "LDPC encode", "ms_per_block":
-                      round(dt / B * 1e3, 4), "reference_ms": 4.0,
-                      "speedup": round(4.0 / (dt / B * 1e3), 1)}))
+    emit({"row": "LDPC encode", "ms_per_block":
+          round(dt / B * 1e3, 4), "reference_ms": 4.0,
+          "speedup": round(4.0 / (dt / B * 1e3), 1)})
 
     xs = np.asarray(enc())
     sigma2 = 1.0 / 10 ** (2.0 / 10)
@@ -111,10 +117,16 @@ def main():
     dt = timed(bp)
     errs = int(jnp.sum((code.decode(llr, 200, "sumprod2").app < 0)
                        != jnp.asarray(xs, bool)))
-    print(json.dumps({"row": "LDPC BP decode", "ms_per_block":
-                      round(dt / B * 1e3, 4), "reference_ms": 138.0,
-                      "speedup": round(138.0 / (dt / B * 1e3), 1),
-                      "bit_errs": errs}))
+    emit({"row": "LDPC BP decode", "ms_per_block":
+          round(dt / B * 1e3, 4), "reference_ms": 138.0,
+          "speedup": round(138.0 / (dt / B * 1e3), 1),
+          "bit_errs": errs})
+
+    out_path = (Path(__file__).resolve().parent.parent / "docs" /
+                "artifacts" / "baselines_tpu.json")
+    with open(out_path, "w") as f:
+        json.dump({"platform": jax.devices()[0].platform,
+                   "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -189,7 +189,8 @@ def cmd_concat_sweep(args):
     decode = DecodeParams(t_max=args.t_max)
     decoders = args.decoders.split(",")
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
-    store = ResultsStore(Path(args.out) / "concat_sweep.jsonl")
+    stem = "concat_sweep_semi" if args.semi_protected else "concat_sweep"
+    store = ResultsStore(Path(args.out) / f"{stem}.jsonl")
     cfg_key = _config_key(ldpc=ldpc, sp_plain=sp_plain, sp_ldpc=sp_ldpc,
                           lengths=lengths, t_max=args.t_max, runs=args.runs,
                           semi=args.semi_protected)
@@ -212,7 +213,7 @@ def cmd_concat_sweep(args):
             series[d].append(row)
             print(json.dumps(row))
     plot_ber_sweep([series[d] for d in decoders], decoders,
-                   Path(args.out) / "concat_sweep.png")
+                   Path(args.out) / f"{stem}.png")
     if args.save_npz:
         # the reference driver's snapshot layout
         # (performance_plots_general.py:138-139): (num_sims, num_snrs) arrays

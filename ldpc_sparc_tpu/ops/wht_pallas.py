@@ -66,18 +66,19 @@ def set_fwht_backend(backend: str | None = None, dtype: str | None = None):
 
 def use_pallas_srht(w: int, offset: int, window_is_w: bool,
                     is_complex: bool) -> bool:
-    """Decide whether srht_apply should route through the fused kernel."""
-    if _FWHT_BACKEND == "xla" or is_complex:
+    """Decide whether srht_apply should route through the fused kernel.
+
+    `auto` resolves to the XLA chain: on the v5e the measured winner is
+    the mlf=5 Kronecker chain — the transpose-free two-matmul kernel is
+    MXU-bound and 0.9x on the product pair (docs/ROOFLINE.md section 1,
+    docs/artifacts/fwht_pallas_tpu_check.json). Set
+    LDPC_SPARC_FWHT_BACKEND=pallas (or set_fwht_backend) to opt in on
+    hardware where the tradeoff lands the other way.
+    """
+    if _FWHT_BACKEND != "pallas" or is_complex:
         return False
-    ok_shape = (offset == 0 and window_is_w
-                and _MIN_LOG_W <= (w.bit_length() - 1) <= _MAX_LOG_W)
-    if _FWHT_BACKEND == "pallas":
-        return ok_shape
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend at trace time
-        return False
-    return ok_shape and platform == "tpu"
+    return (offset == 0 and window_is_w
+            and _MIN_LOG_W <= (w.bit_length() - 1) <= _MAX_LOG_W)
 
 
 def _split_ab(w: int) -> tuple[int, int]:
