@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--mlf", type=int, default=5,
                     help="XLA-chain max_log_factor (best from perf_sweep)")
+    ap.add_argument("--mode", default="ms", choices=("ms", "2mm"),
+                    help="Pallas kernel flavor: multi-stage single-pass "
+                         "or two-sided two-matmul")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +72,7 @@ def main():
     awgn_var = 1.0
     B = args.batch
     wht.set_fwht_options(max_log_factor=args.mlf)
-    wht_pallas.set_fwht_backend(dtype=args.dtype)
+    wht_pallas.set_fwht_backend(dtype=args.dtype, mode=args.mode)
     design = SparcDesign.for_params(params, awgn_var, seed=0)
 
     key = jax.random.key(0)
@@ -79,7 +82,7 @@ def main():
 
     row = {"platform": jax.devices()[0].platform, "batch": B,
            "mlf_xla": args.mlf, "pallas_dtype": args.dtype,
-           "w": design.w, "offset": design.offset}
+           "pallas_mode": args.mode, "w": design.w, "offset": design.offset}
     results = {}
     for backend in ("xla", "pallas"):
         wht_pallas.set_fwht_backend(backend=backend)
@@ -126,11 +129,23 @@ def main():
         row["xla"]["full_ms"] / row["pallas"]["full_ms"], 2)
     print(json.dumps(row))
 
+    # keyed by kernel mode so both measured flavors stay on record
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "artifacts",
         "fwht_pallas_tpu_check.json")
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if "pallas_mode" in prev:          # legacy single-row schema
+            doc[prev["pallas_mode"]] = prev
+        elif "xla" in prev:
+            doc["2mm"] = prev
+        else:
+            doc = prev
+    doc[args.mode] = row
     with open(out_path, "w") as f:
-        json.dump(row, f, indent=1)
+        json.dump(doc, f, indent=1)
 
     # bf16 inputs with f32 accumulation across a width-2^19 two-sided
     # product: relative error ~sqrt(w)*2^-9 on near-cancelling outputs

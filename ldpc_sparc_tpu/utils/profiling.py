@@ -58,34 +58,51 @@ def fwht_width(L: int, M: int, n: int) -> int:
 
 
 def amp_iteration_flops(L: int, M: int, n: int,
-                        max_log_factor: int | None = None) -> int:
+                        max_log_factor: int | None = None,
+                        backend: str = "xla") -> int:
     """FLOPs of one AMP iteration through the factored Hadamard design:
     two FWHTs of width w, each a Kronecker chain of dense factor matmuls
     costing sum_i (w * f_i) MACs = 2 * w * sum(factors) FLOPs, plus the
-    O(L*M) denoiser (exp/sum/div ~= 10 ops per entry)."""
+    O(L*M) denoiser (exp/sum/div ~= 10 ops per entry).
+
+    backend="pallas_ms": the single-pass multi-stage VMEM kernel
+    (ops/wht_pallas.py) — sublane factors of S = w/128 plus the lane-axis
+    H_128 factor."""
     from ..ops.wht import _factorize, get_fwht_options
-    if max_log_factor is None:
-        max_log_factor = get_fwht_options()[0]
     w = fwht_width(L, M, n)
-    factors = _factorize(w.bit_length() - 1, max_log_factor)
+    if backend == "pallas_ms":
+        from ..ops.wht_pallas import _sublane_factors
+        factors = list(_sublane_factors(w // 128)) + [128]
+    else:
+        if max_log_factor is None:
+            max_log_factor = get_fwht_options()[0]
+        factors = _factorize(w.bit_length() - 1, max_log_factor)
     fwht = 2 * w * sum(factors)  # MACs * 2
     return 2 * fwht + 10 * L * M
 
 
 def amp_iteration_hbm_bytes(L: int, M: int, n: int,
                             max_log_factor: int | None = None,
-                            itemsize: int = 4) -> int:
+                            itemsize: int = 4,
+                            backend: str = "xla") -> int:
     """Minimum HBM traffic of one AMP iteration, assuming each Kronecker
     matmul stage reads + writes the full w-state once (XLA fuses the
     scatter/gather/scale elementwise chain into the neighboring matmuls)
     plus one read/write of the L*M state for the denoiser. This is the
-    denominator of the memory-roofline estimate in docs/ROOFLINE.md."""
+    denominator of the memory-roofline estimate in docs/ROOFLINE.md.
+
+    backend="pallas_ms": all stages run on the VMEM-resident block, so
+    each transform costs one read of the state + the bf16 sign plane and
+    one write, regardless of stage count."""
     from ..ops.wht import _factorize, get_fwht_options
-    if max_log_factor is None:
-        max_log_factor = get_fwht_options()[0]
     w = fwht_width(L, M, n)
-    stages = len(_factorize(w.bit_length() - 1, max_log_factor))
-    per_transform = 2 * stages * w * itemsize     # read + write per stage
+    if backend == "pallas_ms":
+        per_transform = w * (itemsize + itemsize + 2)  # in + out + bf16 signs
+    else:
+        if max_log_factor is None:
+            max_log_factor = get_fwht_options()[0]
+        stages = len(_factorize(w.bit_length() - 1, max_log_factor))
+        per_transform = 2 * stages * w * itemsize     # read + write per stage
     return 2 * per_transform + 2 * L * M * itemsize
 
 

@@ -28,18 +28,45 @@ def f32_kernel():
 
 @pytest.mark.parametrize("w,E", [(1 << 10, 3), (1 << 9, 2)])
 @pytest.mark.parametrize("apply_pre", [True, False])
-def test_fused_kernel_matches_xla_chain(w, E, apply_pre):
+@pytest.mark.parametrize("mode", ["ms", "2mm"])
+def test_fused_kernel_matches_xla_chain(w, E, apply_pre, mode):
     rng = np.random.default_rng(w + apply_pre)
     x = jnp.asarray(rng.normal(size=(E, w)), jnp.float32)
     signs = jnp.asarray(rng.integers(0, 2, (E, w)) * 2 - 1, jnp.float32)
 
-    got = wht_pallas.fwht_signed(x, signs, w, apply_pre, interpret=True)
+    old = wht_pallas._FWHT_PALLAS_MODE
+    wht_pallas.set_fwht_backend(mode=mode)
+    try:
+        got = wht_pallas.fwht_signed(x, signs, w, apply_pre, interpret=True)
+    finally:
+        wht_pallas.set_fwht_backend(mode=old)
     if apply_pre:
         want = fwht(x * signs)
     else:
         want = fwht(x) * signs
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("w", [1 << 13, 1 << 15])
+def test_multistage_kernel_multi_factor_widths(w):
+    """Widths whose sublane count needs 1 and 2 factors (incl. a ragged
+    tail factor), checked against the popcount closed form via fwht."""
+    rng = np.random.default_rng(w)
+    x = jnp.asarray(rng.normal(size=(2, w)), jnp.float32)
+    signs = jnp.asarray(rng.integers(0, 2, (2, w)) * 2 - 1, jnp.float32)
+    got = wht_pallas._fwht_signed_ms(x, signs, w, apply_pre=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fwht(x * signs)),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_sublane_factorization():
+    assert wht_pallas._sublane_factors(8) == (8,)
+    assert wht_pallas._sublane_factors(128) == (128,)
+    assert wht_pallas._sublane_factors(256) == (128, 2)
+    assert wht_pallas._sublane_factors(4096) == (128, 32)
+    assert wht_pallas._sublane_factors(1) == ()
 
 
 def test_srht_apply_pallas_backend_matches_xla():
