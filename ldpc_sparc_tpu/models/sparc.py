@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..config import SparcParams, DecodeParams, create_base_matrix
 from ..ops.transforms import SparcDesign
 from ..ops.denoiser import mmse_denoise, map_estimate
+from ..ops.denoiser_pallas import use_fused_denoiser, fused_denoise_update
 from ..utils import bits as bitops
 from ..utils import rng as rngmod
 
@@ -149,9 +150,21 @@ def amp_decode(y: jnp.ndarray, design: SparcDesign, params: SparcParams,
             phi = jnp.mean(jnp.abs(z_new).reshape(Lr, Mr) ** 2, axis=1)
 
         tau = (L / Mr) / (W.T @ (1.0 / phi))  # (Lc,)
-        s = beta + rep_c(tau) * design.az(z_new / rep_r(phi).astype(z_new.dtype))
-        beta_new = mmse_denoise(s, rep_c(1.0 / tau), M, K)
-        psi = 1.0 - col_energy(beta_new)
+        azo = design.az(z_new / rep_r(phi).astype(z_new.dtype))
+        if use_fused_denoiser(M, K, LM, jnp.iscomplexobj(y)):
+            # fused s-update + softmax + section energy in one VMEM pass
+            # (ops/denoiser_pallas.py; the XLA tail below costs ~as much
+            # as both design transforms, docs/ROOFLINE.md section 1)
+            tau_sec = jnp.broadcast_to(tau[:, None],
+                                       (Lc, sec_per_col)).reshape(L)
+            s, beta_new, sec_en = fused_denoise_update(beta, azo, tau_sec, M)
+            psi = jnp.sum(sec_en.reshape(Lc, sec_per_col),
+                          axis=1) / sec_per_col
+            psi = 1.0 - psi
+        else:
+            s = beta + rep_c(tau) * azo
+            beta_new = mmse_denoise(s, rep_c(1.0 / tau), M, K)
+            psi = 1.0 - col_energy(beta_new)
 
         converged = jnp.logical_and(
             t > 0,

@@ -41,29 +41,41 @@ import jax
 import jax.numpy as jnp
 
 # Defaults; override with set_fwht_options() or the environment variables
-# LDPC_SPARC_WHT_MAX_LOG_FACTOR / LDPC_SPARC_WHT_DTYPE (read at import).
+# LDPC_SPARC_WHT_MAX_LOG_FACTOR / LDPC_SPARC_WHT_DTYPE /
+# LDPC_SPARC_WHT_STAGE_DTYPE (read at import).
 _MAX_LOG_FACTOR = int(os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "5"))
 _MATMUL_DTYPE = os.environ.get("LDPC_SPARC_WHT_DTYPE", "float32")
+_STAGE_DTYPE = os.environ.get("LDPC_SPARC_WHT_STAGE_DTYPE", "float32")
 
 
 def set_fwht_options(max_log_factor: int | None = None,
-                     matmul_dtype: str | None = None) -> None:
+                     matmul_dtype: str | None = None,
+                     stage_dtype: str | None = None) -> None:
     """Set the FWHT tuning knobs process-wide.
 
     Call before tracing; already-jitted callers keep the factorization they
     were traced with (the knobs are trace-time constants).
+
+    stage_dtype: dtype the INTER-STAGE intermediates are stored in (HBM
+    traffic), independent of matmul_dtype (the MXU input rounding).
+    'bfloat16' halves the dominant HBM traffic of the Kronecker chain at
+    ~2^-9 relative rounding per stage — gated by the bench BER check.
+    The final stage always accumulates/returns in the caller's dtype.
     """
-    global _MAX_LOG_FACTOR, _MATMUL_DTYPE
+    global _MAX_LOG_FACTOR, _MATMUL_DTYPE, _STAGE_DTYPE
     if max_log_factor is not None:
         assert 1 <= max_log_factor <= 13
         _MAX_LOG_FACTOR = int(max_log_factor)
     if matmul_dtype is not None:
         assert matmul_dtype in ("float32", "bfloat16")
         _MATMUL_DTYPE = matmul_dtype
+    if stage_dtype is not None:
+        assert stage_dtype in ("float32", "bfloat16")
+        _STAGE_DTYPE = stage_dtype
 
 
-def get_fwht_options() -> tuple[int, str]:
-    return _MAX_LOG_FACTOR, _MATMUL_DTYPE
+def get_fwht_options() -> tuple[int, str, str]:
+    return _MAX_LOG_FACTOR, _MATMUL_DTYPE, _STAGE_DTYPE
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,17 +118,23 @@ def fwht(x: jnp.ndarray) -> jnp.ndarray:
     factors = _factorize(log_w, _MAX_LOG_FACTOR)
     out_dtype = x.dtype
     mm_dtype = jnp.bfloat16 if _MATMUL_DTYPE == "bfloat16" else out_dtype
+    # inter-stage storage dtype: bf16 halves the chain's HBM traffic
+    # (each stage materializes the full w-state); the LAST stage always
+    # lands in out_dtype so callers see full-precision accumulation
+    st_dtype = jnp.bfloat16 if _STAGE_DTYPE == "bfloat16" else out_dtype
     batch = x.shape[:-1]
     y = x.reshape(batch + tuple(factors))
     nb = len(batch)
     for i, f in enumerate(factors):
         H = hadamard_factor(f, mm_dtype)
         axis = nb + i
+        last = i == len(factors) - 1
         # contract factor axis with H (symmetric), put result back in place;
-        # accumulate in the output dtype even when feeding the MXU bf16
+        # accumulation dtype = stage storage dtype (except the final stage)
         y = jnp.moveaxis(
             jnp.tensordot(y.astype(mm_dtype), H, axes=[[axis], [0]],
-                          preferred_element_type=out_dtype),
+                          preferred_element_type=out_dtype if last
+                          else st_dtype),
             -1, axis)
     return y.reshape(batch + (w,)).astype(out_dtype)
 
