@@ -508,9 +508,12 @@ def concat_sim(sparc_params: SparcParams, ldpc_params: LdpcParams,
             return user_bits, bits_out
 
         if len(_SIM_CACHE) >= _SIM_CACHE_MAX:
-            _SIM_CACHE.pop(next(iter(_SIM_CACHE)))  # evict oldest (dicts are ordered)
+            _SIM_CACHE.pop(next(iter(_SIM_CACHE)))  # evict least recent
         _SIM_CACHE[cfg] = (codec, jax.jit(trial))
-    codec, trial_fn = _SIM_CACHE[cfg]
+    # true LRU: refresh recency on hit, so round-robining more than
+    # _SIM_CACHE_MAX configs doesn't evict exactly the next one needed
+    codec, trial_fn = _SIM_CACHE.pop(cfg)
+    _SIM_CACHE[cfg] = (codec, trial_fn)
     key = rngmod.root_key(seed)
     design = codec.build_design(seed)
     user_bits, bits_out = trial_fn(key, design, jnp.float32(awgn_var))

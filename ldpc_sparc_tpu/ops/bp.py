@@ -314,9 +314,17 @@ def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,
         backend = default_bp_backend()
     if backend in ("pallas", "pallas_interpret"):
         from .bp_pallas import bp_decode_pallas
-        return bp_decode_pallas(ch, graph, max_iters=max_iters, method=method,
-                                corr_factor=corr_factor,
-                                interpret=backend == "pallas_interpret")
+        # flatten leading batch dims to the (B, Nv) shape the kernel takes
+        # (same contract as the XLA branch below)
+        batch_shape = ch.shape[:-1]
+        flat = ch.reshape(-1, ch.shape[-1])
+        res = bp_decode_pallas(flat, graph, max_iters=max_iters,
+                               method=method, corr_factor=corr_factor,
+                               interpret=backend == "pallas_interpret")
+        if ch.ndim == 1:
+            return BpResult(app=res.app[0], iterations=res.iterations[0])
+        return BpResult(app=res.app.reshape(batch_shape + (ch.shape[-1],)),
+                        iterations=res.iterations.reshape(batch_shape))
     assert backend == "xla", f"unknown BP backend {backend!r}"
     correction = method != "minsum"
     cf = jnp.asarray(corr_factor, ch.dtype)

@@ -196,7 +196,11 @@ def bp_decode_pallas(ch: jnp.ndarray, graph: TannerGraph,
     B = ch.shape[0]
     pad = (-B) % LANE_TILE
     if pad:
-        ch = jnp.pad(ch, ((0, pad), (0, 0)))
+        # pad lanes must satisfy parity immediately or the whole-tile
+        # early-exit never fires (sign(0) = 0 keeps row_ok at 0 and the
+        # loop runs all max_iters): +_BIG LLRs = a confident all-zeros
+        # codeword, done after one iteration
+        ch = jnp.pad(ch, ((0, pad), (0, 0)), constant_values=_BIG)
     res = _pallas_decode(ch.astype(jnp.float32), graph, max_iters,
                          correction, float(corr_factor), interpret)
     app, it = res.app[:B], res.iterations[:B]

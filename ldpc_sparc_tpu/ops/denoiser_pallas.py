@@ -32,8 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# "auto" enables the kernel on TPU for eligible shapes; "xla" disables;
-# "pallas" forces (tests use interpret mode).
+# "auto"/"xla" resolve to the XLA path (measured faster on this platform —
+# see use_fused_denoiser); "pallas" forces the fused kernel for eligible
+# shapes (tests use interpret mode).
 _DENOISER_BACKEND = os.environ.get("LDPC_SPARC_DENOISER_BACKEND", "auto")
 
 

@@ -236,6 +236,54 @@ def concat_ber_point(sparc_params: SparcParams, ldpc_params: LdpcParams,
 # LDPC waterfall campaign (ldpc_awgn.py:60-123 semantics, batched + sharded)
 # --------------------------------------------------------------------------
 
+def _batch_counts(code, snr_db, keys_b, max_iters, dectype, bp_backend):
+    """Encode/transmit per codeword (vmap), decode the whole batch in
+    one lane-batched BP call (codewords ride the vector lanes)."""
+    from ..ops.bp import bp_decode
+
+    sigma2 = 1.0 / 10 ** (snr_db / 10.0)
+    K, N = code.K, code.N
+
+    def tx(key):
+        ku, kn = jax.random.split(key)
+        u = jax.random.bernoulli(ku, 0.5, (K,)).astype(jnp.int32)
+        x = code.encode(u)
+        xm = 1.0 - 2.0 * x  # BPSK (ldpc_awgn.py:55-57)
+        y = xm + jnp.sqrt(sigma2) * jax.random.normal(kn, (N,))
+        return x, 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
+
+    xs, llrs = jax.vmap(tx)(keys_b)
+    method = "minsum" if dectype == "minsum" else "sumprod"
+    res = bp_decode(llrs.astype(jnp.float32), code.graph, max_iters,
+                    method, 0.7, backend=bp_backend)
+    xh = (res.app < 0).astype(jnp.int32)
+    biterrs = jnp.sum(xs != xh, axis=1)
+    return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
+
+
+@partial(jax.jit, static_argnames=("code", "max_iters", "dectype",
+                                   "bp_backend"))
+def _batch_counts_jit(code, snr_db, keys_b, max_iters, dectype, bp_backend):
+    be, bl, it = _batch_counts(code, snr_db, keys_b, max_iters, dectype,
+                               bp_backend)
+    return jnp.sum(be), jnp.sum(bl), jnp.sum(it)
+
+
+@partial(jax.jit, static_argnames=("code", "max_iters", "dectype",
+                                   "bp_backend", "mesh"))
+def _batch_counts_sharded_jit(code, snr_db, keys, max_iters, dectype,
+                              bp_backend, mesh):
+    def shard_fn(snr_local, keys_local):
+        be, bl, it = _batch_counts(code, snr_local, keys_local, max_iters,
+                                   dectype, bp_backend)
+        out = jnp.stack([jnp.sum(be), jnp.sum(bl), jnp.sum(it)])
+        return jax.lax.psum(out, "dp")[None]
+
+    return jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
+                         in_specs=(P(), P("dp")), out_specs=P("dp"))(
+        snr_db, keys)
+
+
 def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
                        max_iters: int, dectype: str,
                        mesh: Optional[jax.sharding.Mesh],
@@ -246,43 +294,18 @@ def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
     The BP call goes through the backend dispatcher (ops/bp.py bp_decode):
     on TPU the default is the fused Pallas kernel — this is the campaign's
     hot loop (the reference profile spends 29.47/30.45 s here,
-    ldpc_jossy/data/1809301420_profile.txt)."""
-    sigma2 = 1.0 / 10 ** (snr_db / 10.0)
-    K, N = code.K, code.N
-
-    def batch_counts(keys_b):
-        """Encode/transmit per codeword (vmap), decode the whole batch in
-        one lane-batched BP call (codewords ride the vector lanes)."""
-        from ..ops.bp import bp_decode
-
-        def tx(key):
-            ku, kn = jax.random.split(key)
-            u = jax.random.bernoulli(ku, 0.5, (K,)).astype(jnp.int32)
-            x = code.encode(u)
-            xm = 1.0 - 2.0 * x  # BPSK (ldpc_awgn.py:55-57)
-            y = xm + jnp.sqrt(sigma2) * jax.random.normal(kn, (N,))
-            return x, 2.0 / sigma2 * y  # ch2llr (ldpc_awgn.py:51-53)
-
-        xs, llrs = jax.vmap(tx)(keys_b)
-        method = "minsum" if dectype == "minsum" else "sumprod"
-        res = bp_decode(llrs.astype(jnp.float32), code.graph, max_iters,
-                        method, 0.7, backend=bp_backend)
-        xh = (res.app < 0).astype(jnp.int32)
-        biterrs = jnp.sum(xs != xh, axis=1)
-        return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
-
+    ldpc_jossy/data/1809301420_profile.txt). The jitted program is cached
+    at module level with snr_db as a TRACED argument, so the campaign's
+    thousands of batches per config compile exactly once (code/TannerGraph
+    hash by identity; get_code returns cached instances)."""
+    snr_arr = jnp.float32(snr_db)
     if mesh is None:
-        be, bl, it = jax.jit(batch_counts)(keys)
-        return int(jnp.sum(be)), int(jnp.sum(bl)), int(jnp.sum(it))
+        be, bl, it = _batch_counts_jit(code, snr_arr, keys, max_iters,
+                                       dectype, bp_backend)
+        return int(be), int(bl), int(it)
 
-    def shard_fn(keys_local):
-        be, bl, it = batch_counts(keys_local)
-        out = jnp.stack([jnp.sum(be), jnp.sum(bl), jnp.sum(it)])
-        return jax.lax.psum(out, "dp")[None]
-
-    fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=P("dp"),
-                               out_specs=P("dp")))
-    res = fn(keys)
+    res = _batch_counts_sharded_jit(code, snr_arr, keys, max_iters, dectype,
+                                    bp_backend, mesh)
     out = np.asarray(res.addressable_shards[0].data)[0]
     return int(out[0]), int(out[1]), int(out[2])
 
@@ -302,8 +325,10 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
     Per SNR point, decodes batches of `batch` random codewords until
     min_errors block errors (or max_blocks), then steps
     SNR += sqrt(p_step / nblocks) — the reference's heuristic (:116).
-    `on_point(record, ctr)` (the trailing ctr accepted optionally) is called
-    after each measured point, for the resumable results store.
+    `on_point(record, state)` is called after each measured point, for the
+    resumable results store; the optional trailing `state` is the dict
+    {"point", "next_snr", "ctr"} a resume needs (single-arg callbacks get
+    just the record).
 
     Resume: pass start_point (first unmeasured point index), start_snr (the
     SNR that point should measure at) and start_ctr (the running key

@@ -48,3 +48,22 @@ def test_pallas_noiseless_fixed_point():
     r = bp_decode_pallas(y, code.graph, 100, "sumprod", interpret=True)
     assert int(r.iterations) == 0
     assert np.array_equal(np.asarray(r.app) < 0, x.astype(bool))
+
+
+def test_bp_decode_pallas_backend_multidim_batch():
+    """bp_decode's documented (..., Nv) contract must hold on the pallas
+    backend too (regression: the dispatcher used to skip the XLA branch's
+    batch flattening, so a (A, B, Nv) batch crashed on TPU only)."""
+    code = get_code("802.16", "1/2", 6)
+    rng = np.random.default_rng(7)
+    us = rng.integers(0, 2, (2, 3, code.K))
+    xs = np.asarray(code.encode(jnp.asarray(us.reshape(6, code.K)))
+                    ).reshape(2, 3, code.N)
+    llr = jnp.asarray(10.0 * (0.5 - xs), jnp.float32)      # noiseless
+
+    r = bp_decode(llr, code.graph, 20, "sumprod", backend="pallas_interpret")
+    assert r.app.shape == (2, 3, code.N)
+    assert r.iterations.shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(r.iterations),
+                                  np.zeros((2, 3), np.int32))
+    assert np.array_equal(np.asarray(r.app) < 0, xs.astype(bool))

@@ -35,12 +35,13 @@ def test_amp_iteration_flops_runs_and_scales(mlf):
     w = profiling.fwht_width(L, M, n)
     factors = wht._factorize(w.bit_length() - 1, mlf)
     assert f == 2 * (2 * w * sum(factors)) + 10 * L * M
-    # defaults to the live FWHT option
+    # defaults to the live FWHT option; restore whatever was set before
+    prev = wht.get_fwht_options()[0]
     wht.set_fwht_options(max_log_factor=mlf)
     try:
         assert profiling.amp_iteration_flops(L, M, n) == f
     finally:
-        wht.set_fwht_options(max_log_factor=7)
+        wht.set_fwht_options(max_log_factor=prev)
 
 
 def test_amp_iteration_hbm_bytes_monotone_in_stages():
