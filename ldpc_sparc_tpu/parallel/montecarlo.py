@@ -261,9 +261,14 @@ def _batch_counts(code, snr_db, keys_b, max_iters, dectype, bp_backend):
     return biterrs, (biterrs > 0).astype(jnp.int32), res.iterations
 
 
-@partial(jax.jit, static_argnames=("code", "max_iters", "dectype",
+@partial(jax.jit, static_argnames=("code", "batch", "max_iters", "dectype",
                                    "bp_backend"))
-def _batch_counts_jit(code, snr_db, keys_b, max_iters, dectype, bp_backend):
+def _batch_counts_jit(code, snr_db, root, ctr, batch, max_iters, dectype,
+                      bp_backend):
+    # key derivation lives inside the program: the campaign loop then costs
+    # ONE dispatch per batch (ctr and snr are traced scalars)
+    keys_b = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+        ctr + jnp.arange(batch))
     be, bl, it = _batch_counts(code, snr_db, keys_b, max_iters, dectype,
                                bp_backend)
     return jnp.sum(be), jnp.sum(bl), jnp.sum(it)
@@ -284,26 +289,30 @@ def _batch_counts_sharded_jit(code, snr_db, keys, max_iters, dectype,
         snr_db, keys)
 
 
-def _ldpc_block_counts(code: LdpcCode, snr_db: float, keys: jnp.ndarray,
-                       max_iters: int, dectype: str,
+def _ldpc_block_counts(code: LdpcCode, snr_db: float, root, ctr: int,
+                       batch: int, max_iters: int, dectype: str,
                        mesh: Optional[jax.sharding.Mesh],
                        bp_backend: str = "auto"):
     """Decode one batch of random codewords at SNR (dB); returns
-    (bit_errs, block_errs, iters) summed over the batch.
+    (bit_errs, block_errs, iters) summed over trials ctr..ctr+batch.
 
     The BP call goes through the backend dispatcher (ops/bp.py bp_decode):
     on TPU the default is the fused Pallas kernel — this is the campaign's
     hot loop (the reference profile spends 29.47/30.45 s here,
     ldpc_jossy/data/1809301420_profile.txt). The jitted program is cached
-    at module level with snr_db as a TRACED argument, so the campaign's
-    thousands of batches per config compile exactly once (code/TannerGraph
-    hash by identity; get_code returns cached instances)."""
+    at module level with snr_db and the trial counter as TRACED arguments,
+    so the campaign's thousands of batches per config compile exactly once
+    (code/TannerGraph hash by identity; get_code returns cached
+    instances) and cost one dispatch each."""
     snr_arr = jnp.float32(snr_db)
     if mesh is None:
-        be, bl, it = _batch_counts_jit(code, snr_arr, keys, max_iters,
+        be, bl, it = _batch_counts_jit(code, snr_arr, root,
+                                       jnp.int32(ctr), batch, max_iters,
                                        dectype, bp_backend)
         return int(be), int(bl), int(it)
 
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
+        jnp.arange(ctr, ctr + batch))
     res = _batch_counts_sharded_jit(code, snr_arr, keys, max_iters, dectype,
                                     bp_backend, mesh)
     out = np.asarray(res.addressable_shards[0].data)[0]
@@ -357,11 +366,10 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
     for point in range(int(start_point), n_measurements):
         nbit = nblk = nblocks = nit = 0
         while nblk < min_errors and nblocks < max_blocks:
-            keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
-                jnp.arange(ctr, ctr + batch))
+            be, bl, it = _ldpc_block_counts(code, snr, root, ctr, batch,
+                                            max_iters, dectype, mesh,
+                                            bp_backend)
             ctr += batch
-            be, bl, it = _ldpc_block_counts(code, snr, keys, max_iters,
-                                            dectype, mesh, bp_backend)
             nbit += be
             nblk += bl
             nit += it

@@ -206,9 +206,11 @@ def test_ldpc_block_counts_sharded():
     from ldpc_sparc_tpu.models.ldpc import get_code
     code = get_code("802.11n", "1/2", 27)
     mesh = make_mesh(sec=1)
-    keys = jax.random.split(jax.random.key(0), 16)
-    be, bl, it = _ldpc_block_counts(code, 3.0, keys, 60, "sumprod2", mesh)
-    be1, bl1, it1 = _ldpc_block_counts(code, 3.0, keys, 60, "sumprod2", None)
+    root = jax.random.key(0)
+    be, bl, it = _ldpc_block_counts(code, 3.0, root, 0, 16, 60, "sumprod2",
+                                    mesh)
+    be1, bl1, it1 = _ldpc_block_counts(code, 3.0, root, 0, 16, 60,
+                                       "sumprod2", None)
     assert (be, bl, it) == (be1, bl1, it1)  # sharding-invariant
     assert bl <= 2  # 3 dB is beyond the waterfall for rate 1/2
 
