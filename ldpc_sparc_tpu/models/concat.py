@@ -173,8 +173,21 @@ class ConcatCodec:
         p = jnp.clip(bit_probs, eps, 1 - eps)
         llr = jnp.log(p) - jnp.log1p(-p)
         nblocks = llr.size // self.code.N
+        # This call sits inside the per-trial decode, so under the
+        # Monte-Carlo vmap the Pallas kernel pads EACH trial's few blocks
+        # to a full 128-lane tile (~3% utilization at the reference's
+        # mults=4). Measured on the z=150 integrated point: 13.6 s/point
+        # with the XLA scan vs 26.1 s with Pallas (TPU v5e). Small
+        # per-call batches therefore route to XLA; an explicit
+        # LDPC_SPARC_BP_BACKEND still wins (ops/bp.py consults it for
+        # 'auto'). The waterfall campaign batches full 512-lane tiles and
+        # keeps the Pallas default.
+        import os
+        backend = ("auto" if nblocks >= 64
+                   else os.environ.get("LDPC_SPARC_BP_BACKEND", "xla"))
         res = bp_decode(llr.reshape(nblocks, self.code.N).astype(jnp.float32),
-                        self.code.graph, max_iters=num_its, method="sumprod")
+                        self.code.graph, max_iters=num_its, method="sumprod",
+                        backend=backend)
         app = res.app
         if hard:
             return (app[:, :self.code.K] < 0).astype(jnp.int32).reshape(-1)
