@@ -117,7 +117,28 @@ def main():
 
     art_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "artifacts")
-    with open(os.path.join(art_dir, "campaign_tpu.json"), "w") as f:
+    art_path = os.path.join(art_dir, "campaign_tpu.json")
+    # merge with any previously measured configs (keyed by sim_id) so the
+    # artifact accumulates coverage of the 36-entry grid across runs
+    if os.path.exists(art_path):
+        prev = json.load(open(art_path))
+        have = {c["sim_id"] for c in out["configs"]}
+        out["configs"].extend(c for c in prev.get("configs", [])
+                              if c["sim_id"] not in have)
+        out["configs"].sort(key=lambda c: c["sim_id"])
+        total_wall = sum(c["wall_s"] for c in out["configs"])
+        total_blocks = sum(c["blocks"] for c in out["configs"])
+        per_cfg = total_wall / len(out["configs"])
+        out["summary"] = {
+            "total_wall_s": round(total_wall, 1),
+            "total_blocks": total_blocks,
+            "configs_measured": len(out["configs"]),
+            "mean_wall_per_config_s": round(per_cfg, 1),
+            "full_36_config_campaign_estimate_min":
+                round(36 * per_cfg / 60, 1),
+            "reference_note": out["summary"]["reference_note"],
+        }
+    with open(art_path, "w") as f:
         json.dump(out, f, indent=1)
 
     # overlay plot: ours (lines+markers) vs 2018 measured (hollow markers)
