@@ -69,11 +69,12 @@ def main():
     from ldpc_sparc_tpu.config import LdpcParams
     from ldpc_sparc_tpu.parallel.montecarlo import ldpc_waterfall_campaign
 
-    out = {"platform": jax.devices()[0].platform, "protocol": {
+    protocol = {
         "points": args.points, "min_errors": args.min_errors,
         "max_blocks": args.max_blocks, "batch": args.batch,
-        "dectype": "sumprod2", "max_iters": 200},
-        "configs": []}
+        "dectype": "sumprod2", "max_iters": 200}
+    out = {"platform": jax.devices()[0].platform, "protocol": protocol,
+           "configs": []}
     total_blocks = total_wall = 0
     for sim_id in [int(s) for s in args.sim_ids.split(",")]:
         std, rate, z, pt = SIM_PARAM_TABLE[sim_id - 1]
@@ -89,7 +90,8 @@ def main():
             "16" if std == "802.16" else "11", params.rate_float,
             0 if pt == "A" else 1, z)
         cfg = {"sim_id": sim_id, "standard": std, "rate": rate, "z": z,
-               "ptype": pt, "wall_s": round(wall, 1), "blocks": blocks,
+               "ptype": pt, "protocol": dict(protocol),
+               "wall_s": round(wall, 1), "blocks": blocks,
                "blocks_per_s": round(blocks / wall, 1),
                "iters": sum(r[9] for r in recs),
                "points": [{"snr": r[4], "nblocks": r[5], "nblkerr": r[6],
@@ -123,8 +125,13 @@ def main():
     if os.path.exists(art_path):
         prev = json.load(open(art_path))
         have = {c["sim_id"] for c in out["configs"]}
-        out["configs"].extend(c for c in prev.get("configs", [])
-                              if c["sim_id"] not in have)
+        # each config carries the protocol it was measured under (older
+        # artifacts stored one top-level protocol block: backfill from it)
+        prev_proto = prev.get("protocol", {})
+        for c in prev.get("configs", []):
+            if c["sim_id"] not in have:
+                c.setdefault("protocol", dict(prev_proto))
+                out["configs"].append(c)
         out["configs"].sort(key=lambda c: c["sim_id"])
         total_wall = sum(c["wall_s"] for c in out["configs"])
         total_blocks = sum(c["blocks"] for c in out["configs"])

@@ -82,7 +82,11 @@ def main():
 
     row = {"platform": jax.devices()[0].platform, "batch": B,
            "mlf_xla": args.mlf, "pallas_dtype": args.dtype,
-           "pallas_mode": args.mode, "w": design.w, "offset": design.offset}
+           # record the flavor actually dispatched at this width, not the
+           # requested knob ('ms' below w=1024 falls back to '2mm')
+           "pallas_mode": wht_pallas.resolved_fwht_mode(design.w),
+           "pallas_mode_requested": args.mode,
+           "w": design.w, "offset": design.offset}
     results = {}
     for backend in ("xla", "pallas"):
         wht_pallas.set_fwht_backend(backend=backend)

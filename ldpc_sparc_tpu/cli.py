@@ -208,7 +208,11 @@ def cmd_concat_sweep(args):
             row = concat_ber_point(sp, ldpc, lengths, d != "amp_only",
                                    decode, awgn_var, (args.seed, 0),
                                    n_trials=args.runs, decoder=d)
-            row.update({"snr_db": float(snr), "decoder": d})
+            # the reference's concat axis is LINEAR snr (awgn_var = P/snr,
+            # performance_plots_general.py:96-98); store both conventions
+            # (the sparc sweep stores the same pair, cmd_sparc_sweep)
+            row.update({"snr": float(snr),
+                        "snr_db": float(10 * np.log10(snr)), "decoder": d})
             store.append(key, row)
             series[d].append(row)
             print(json.dumps(row))

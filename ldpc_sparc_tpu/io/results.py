@@ -294,8 +294,10 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
 def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     """Multi-decoder BER sweep plot (performance_plots_general.py:141-155).
 
-    rows: list (one per decoder) of lists of dicts with 'snr_db' and 'ber';
-    rows that also carry 'ber_min'/'ber_max' get the reference's asymmetric
+    rows: list (one per decoder) of lists of dicts with 'ber' and an SNR
+    axis — 'snr' (linear, the reference's concat-sweep convention,
+    performance_plots_general.py:96-98) preferred, else 'snr_db'. Rows
+    that also carry 'ber_min'/'ber_max' get the reference's asymmetric
     min/max error bars (performance_plots_general.py:141-155).
     """
     import matplotlib
@@ -303,8 +305,9 @@ def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(10, 4))
     floor = 1e-9
+    linear_axis = any(s and "snr" in s[0] for s in rows)
     for series, label in zip(rows, labels):
-        snr = [r["snr_db"] for r in series]
+        snr = [r.get("snr", r.get("snr_db")) for r in series]
         ber = [max(r["ber"], floor) for r in series]
         if series and "ber_min" in series[0] and "ber_max" in series[0]:
             lo = [max(b - max(r["ber_min"], floor), 0.0)
@@ -316,7 +319,7 @@ def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
             ax.set_yscale("log")
         else:
             ax.semilogy(snr, ber, "o-", label=label)
-    ax.set_xlabel("SNR")
+    ax.set_xlabel("SNR (linear)" if linear_axis else "SNR (dB)")
     ax.set_ylabel("BER")
     ax.set_title(title)
     ax.grid(True, which="both", alpha=0.3)

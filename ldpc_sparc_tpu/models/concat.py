@@ -45,7 +45,7 @@ from ..ops.denoiser import mmse_denoise, map_estimate
 from ..ops.bridges import (section_probs_to_bit_probs,
                            bit_probs_to_section_probs, combine_posteriors,
                            integrated_onsager_derivative, bit0_mask_np)
-from ..ops.bp import bp_decode
+from ..ops.bp import bp_decode, small_batch_bp_backend
 from ..utils import bits as bitops
 from ..utils import rng as rngmod
 from .ldpc import LdpcCode, get_code
@@ -178,13 +178,12 @@ class ConcatCodec:
         # to a full 128-lane tile (~3% utilization at the reference's
         # mults=4). Measured on the z=150 integrated point: 13.6 s/point
         # with the XLA scan vs 26.1 s with Pallas (TPU v5e). Small
-        # per-call batches therefore route to XLA; an explicit
-        # LDPC_SPARC_BP_BACKEND still wins (ops/bp.py consults it for
-        # 'auto'). The waterfall campaign batches full 512-lane tiles and
-        # keeps the Pallas default.
-        import os
-        backend = ("auto" if nblocks >= 64
-                   else os.environ.get("LDPC_SPARC_BP_BACKEND", "xla"))
+        # per-call batches therefore route to XLA via
+        # small_batch_bp_backend (an explicit LDPC_SPARC_BP_BACKEND still
+        # wins, validated there; NOTE the backend is resolved at TRACE
+        # time — see default_bp_backend's caveat). The waterfall campaign
+        # batches full 512-lane tiles and keeps the Pallas default.
+        backend = "auto" if nblocks >= 64 else small_batch_bp_backend()
         res = bp_decode(llr.reshape(nblocks, self.code.N).astype(jnp.float32),
                         self.code.graph, max_iters=num_its, method="sumprod",
                         backend=backend)
@@ -235,7 +234,7 @@ class ConcatCodec:
         """Full L3 AMP (sparc_amp, sparc_new.py:885-912): fixed t_max
         iterations, scalar tau, returns (beta_mmse, s)."""
         def body(carry, t):
-            beta, z, tau_sqr = carry
+            beta, z, tau_sqr, _ = carry
             first = t == 0
             # reference: z = y at t=0, Onsager skipped
             Ab = design.ab(beta / self.c_amp)
@@ -244,11 +243,15 @@ class ConcatCodec:
             s = design.az(z) / self.c_amp + beta
             tau_sqr = jnp.sum(z ** 2) / self.n
             beta = self._mmse(s, tau_sqr)
-            return (beta, z, tau_sqr), s
-        init = (jnp.zeros(self.sparc.L * self.sparc.M, jnp.float32),
-                jnp.zeros_like(y), jnp.asarray(1.0, jnp.float32))
-        (beta, _, _), ss = jax.lax.scan(body, init, jnp.arange(t_max))
-        return beta, ss[-1]
+            # s rides the carry (only the final iteration's is needed) —
+            # stacking every iteration would cost O(t_max * LM) per trial
+            # under the Monte-Carlo vmap
+            return (beta, z, tau_sqr, s), None
+        LM = self.sparc.L * self.sparc.M
+        init = (jnp.zeros(LM, jnp.float32), jnp.zeros_like(y),
+                jnp.asarray(1.0, jnp.float32), jnp.zeros(LM, jnp.float32))
+        (beta, _, _, s), _ = jax.lax.scan(body, init, jnp.arange(t_max))
+        return beta, s
 
     def _decode_amp_only(self, y, design, dp, bi, bf):
         """Plain SPARC decode in the L3 convention (the ldpc_bool=False path

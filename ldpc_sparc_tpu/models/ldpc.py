@@ -25,7 +25,6 @@ import functools
 from typing import Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..config import LdpcParams
@@ -96,9 +95,15 @@ class LdpcCode:
     # systematic encoder
     # ------------------------------------------------------------------
     def _prepare_encoder(self):
-        """Precompute the static structure of the dual-diagonal encoder
-        (ldpc.py:400-460): systematic accumulation edges, the first-parity
-        inverse offset, and the back-substitution schedule."""
+        """Precompute the dual-diagonal encoder (ldpc.py:400-460) as a
+        generator matrix.
+
+        The reference encodes by z-bit super-symbol accumulation + back
+        substitution — a long sequential chain of cyclic rolls, a poor shape
+        for the VPU. Encoding is linear over GF(2), so we run that chain
+        ONCE at build time on the K unit vectors (vectorized numpy) to get
+        the parity generator Gp (K, N-K); on device, encoding is then a
+        single MXU matmul `parity = (info @ Gp) mod 2`."""
         proto, z, Kp, Mp = self.proto, self.z, self.Kp, self.Mp
         # systematic accumulation: p[j] = XOR_k roll(x[k], -proto[j,k])
         self._sys_edges = [(j, k, int(proto[j, k]))
@@ -117,36 +122,43 @@ class LdpcCode:
             [(Kp + k, int(proto[j, Kp + k]))
              for k in np.flatnonzero(proto[j, Kp:Kp + j + 1] != -1)]
             for j in range(Mp - 1)]
+        # parity generator: row i = parity bits of unit info word e_i.
+        # 0/1 entries are exact in bfloat16 and each dot product is an
+        # integer <= K < 2^24, exact in the MXU's f32 accumulator.
+        gp = self.parity_chain(np.eye(self.K, dtype=np.int64))
+        self._Gp = jnp.asarray(gp, jnp.bfloat16)
+
+    def parity_chain(self, info: np.ndarray) -> np.ndarray:
+        """Reference dual-diagonal parity chain (ldpc.py:400-460), batched
+        numpy. info: (B, K) {0,1} -> (B, N-K). Build-time generator
+        construction and the oracle for testing the matmul encoder."""
+        z, Kp, Mp = self.z, self.Kp, self.Mp
+        xs = info.reshape(-1, Kp, z)
+        p = np.zeros((xs.shape[0], Mp, z), np.int64)
+        for j, k, shift in self._sys_edges:
+            p[:, j] += np.roll(xs[:, k], -shift, axis=-1)
+        p %= 2
+        tp = p.sum(axis=1) % 2
+        parity = [np.roll(tp, self._toff, axis=-1)]
+        for j in range(Mp - 1):
+            acc = p[:, j].copy()
+            for col, shift in self._bs_edges[j]:
+                acc = acc + np.roll(parity[col - Kp], -shift, axis=-1)
+            parity.append(acc % 2)
+        return np.concatenate(parity, axis=-1)
 
     def encode(self, info: jnp.ndarray) -> jnp.ndarray:
         """Systematic encoding. info: (..., K) {0,1} -> (..., N).
 
-        z-bit super-symbol algebra throughout: XOR = add mod 2, cyclic
-        shifts = static rolls, so the whole encoder is a short chain of
-        vectorized ops; vmaps over a leading batch.
-        """
-        if info.ndim > 1:
-            return jax.vmap(self.encode)(info)
-        z, Kp, Mp, Np = self.z, self.Kp, self.Mp, self.Np
-        assert info.shape == (self.K,)
-        xs = jnp.asarray(info, jnp.int32).reshape(Kp, z)
-
-        p = jnp.zeros((Mp, z), jnp.int32)
-        for j, k, shift in self._sys_edges:
-            p = p.at[j].add(jnp.roll(xs[k], -shift))
-        p = p % 2
-        tp = jnp.sum(p, axis=0) % 2
-        first_parity = jnp.roll(tp, self._toff)
-
-        parity = [first_parity]
-        for j in range(Mp - 1):
-            acc = p[j]
-            for col, shift in self._bs_edges[j]:
-                acc = acc + jnp.roll(parity[col - Kp], -shift)
-            parity.append(acc % 2)
-        x = jnp.concatenate([xs.reshape(-1)] +
-                            [pp.reshape(-1) for pp in parity])
-        return x
+        One generator matmul on the MXU (see _prepare_encoder); output is
+        bit-identical to the reference's super-symbol chain (ldpc.py:400-460)
+        — asserted against `parity_chain` in tests/test_ldpc.py."""
+        info = jnp.asarray(info)
+        assert info.shape[-1] == self.K
+        acc = jnp.matmul(info.astype(jnp.bfloat16), self._Gp,
+                         preferred_element_type=jnp.float32)
+        parity = acc.astype(jnp.int32) % 2
+        return jnp.concatenate([info.astype(jnp.int32), parity], axis=-1)
 
     # ------------------------------------------------------------------
     # decoders

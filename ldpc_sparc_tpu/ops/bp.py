@@ -284,17 +284,39 @@ def bp_decode_trace(ch: jnp.ndarray, graph: TannerGraph, num_iters: int,
             it.reshape(batch_shape))
 
 
+_BP_BACKENDS = ("xla", "pallas", "pallas_interpret")
+
+
 def default_bp_backend() -> str:
     """Backend the hot paths use when asked for 'auto': the fused Pallas
     kernel on TPU (messages VMEM-resident across iterations — measured
     faster than the XLA scan on hardware, docs/artifacts/
     bp_pallas_tpu_check.json), the portable XLA kernel elsewhere.
-    Override with LDPC_SPARC_BP_BACKEND=xla|pallas."""
+    Override with LDPC_SPARC_BP_BACKEND=xla|pallas|pallas_interpret.
+
+    CAVEAT (same as the FWHT knobs, ops/wht_pallas.py): callers read this
+    at TRACE time, so a jitted program cached before the env var changed
+    keeps its old routing. Set the env var before the first call of a
+    config, or pass backend= explicitly."""
     import os
     env = os.environ.get("LDPC_SPARC_BP_BACKEND")
     if env:
+        if env not in _BP_BACKENDS:
+            raise ValueError(f"LDPC_SPARC_BP_BACKEND={env!r}; "
+                             f"expected one of {_BP_BACKENDS}")
         return env
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def small_batch_bp_backend() -> str:
+    """Backend for few-lane BP calls (per-trial blocks inside a vmapped
+    decode): the XLA scan, which doesn't pad each call to a 128-lane tile
+    (measured 13.6 s vs 26.1 s per z=150 integrated sweep point on TPU
+    v5e). An explicit LDPC_SPARC_BP_BACKEND still wins, validated."""
+    import os
+    if os.environ.get("LDPC_SPARC_BP_BACKEND"):
+        return default_bp_backend()
+    return "xla"
 
 
 def bp_decode(ch: jnp.ndarray, graph: TannerGraph, max_iters: int = 200,

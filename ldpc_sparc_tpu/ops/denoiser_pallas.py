@@ -55,6 +55,12 @@ def use_fused_denoiser(M: int, K: int, LM: int, is_complex: bool) -> bool:
     to opt in on hardware where kernel DMA runs at full HBM rate."""
     if _DENOISER_BACKEND != "pallas" or is_complex or K != 1:
         return False
+    # upper bound: the kernel holds ~5 (L, M)-sized f32 blocks live in VMEM
+    # (beta, azo, s, beta_new + softmax temporaries); past the 100 MB
+    # vmem_limit it would fail to compile instead of falling back (advisor
+    # r3) — mirror wht_pallas's _MAX_LOG_W style gate
+    if 5 * 4 * LM > 100 * 1024 * 1024:
+        return False
     return M % 128 == 0 and LM % M == 0 and LM >= 128 * 8
 
 

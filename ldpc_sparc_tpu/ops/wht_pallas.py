@@ -258,6 +258,14 @@ def fwht_signed(x: jnp.ndarray, signs: jnp.ndarray, w: int,
     globals, and a shape-keyed jit cache would silently reuse a stale
     flavor after set_fwht_backend. Callers trace it inside their own jit.
     """
-    if _FWHT_PALLAS_MODE == "ms" and w >= 128 * 8:
+    if resolved_fwht_mode(w) == "ms":
         return _fwht_signed_ms(x, signs, w, apply_pre, interpret)
     return _fwht_signed_2mm(x, signs, w, apply_pre, interpret)
+
+
+def resolved_fwht_mode(w: int) -> str:
+    """The kernel flavor fwht_signed will ACTUALLY dispatch for width w:
+    mode='ms' requires w >= 1024 (the multi-stage kernel needs >= 8
+    sublane factors of 128 lanes), below which it falls back to '2mm'.
+    Benchmarks must record this, not the requested knob (advisor r3)."""
+    return "ms" if (_FWHT_PALLAS_MODE == "ms" and w >= 128 * 8) else "2mm"

@@ -12,12 +12,15 @@ loops of ldpc_sparc/performance_plots_general.py:101-118:
   * per-trial randomness is a fold_in of (device, trial) into one root key —
     deterministic and machine-count independent
 
-Designs are drawn per *trial group* from the global trial index (the
+Trial->randomness contract (shared by every entry point here; the
 reference draws a fresh A per run, performance_plots_general.py:102):
-trial t uses design fold(seed, t // group_size). The stacked design leaves
-are replicated to every device and each trial selects its group's leaves,
-so the psum-reduced counters are EXACTLY independent of the mesh shape —
-the same partition-invariance bar parallel/sharded.py meets.
+trial t uses key fold(seed, t) and design (seed, t % n_designs) — both
+functions of the GLOBAL trial index only. Trial counts that don't divide
+the dp axis are padded up internally (padded trials masked/discarded).
+The stacked design leaves are replicated to every device and each trial
+selects its design's leaves, so the reduced counters are EXACTLY
+independent of the mesh shape — the same partition-invariance bar
+parallel/sharded.py meets.
 """
 
 from __future__ import annotations
@@ -57,11 +60,15 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
                     n_designs: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Run n_trials independent SPARC encode->AWGN->AMP->count trials.
 
-    Trial t gets key fold(seed, t) and design (seed, t // group) where
-    group = n_trials / n_designs — both functions of the GLOBAL trial index
-    only, so the reduced counters are bit-identical on any mesh shape.
-    The n_designs stacked design leaves are replicated across devices
-    (P() spec); each vmapped trial gathers its group's leaves.
+    Trial->randomness contract (ONE convention for every Monte-Carlo
+    entry point in this module, shared with concat_mc_trial_errors):
+    trial t gets key fold(seed, t) and design (seed, t % n_designs) —
+    both functions of the GLOBAL trial index only, so the reduced
+    counters are bit-identical on any mesh shape. n_trials that does not
+    divide the dp axis is padded up internally (the padded trials are
+    computed and masked out of the counters). The n_designs stacked
+    design leaves are replicated across devices (P() spec); each vmapped
+    trial gathers its design's leaves.
 
     Returns psum-reduced counters: bit_errs, bits, frame_errs, frames,
     sec_errs, sections, iters.
@@ -70,17 +77,16 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         from .mesh import make_mesh
         mesh = make_mesh(sec=1)
     n_dp = mesh.shape["dp"]
-    assert n_trials % n_dp == 0, "n_trials must divide evenly over dp"
     if n_designs is None:
         n_designs = min(8, n_trials)
-    assert n_trials % n_designs == 0, "n_designs must divide n_trials"
-    group = n_trials // n_designs
+    n_pad = ((n_trials + n_dp - 1) // n_dp) * n_dp
 
     designs = _stack_designs(params, awgn_var, seed, n_designs)
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
-        jnp.arange(n_trials))
-    didx = jnp.arange(n_trials, dtype=jnp.int32) // group
+        jnp.arange(n_pad))
+    didx = jnp.arange(n_pad, dtype=jnp.int32) % n_designs
+    valid = jnp.arange(n_pad) < n_trials
 
     M, K, L = params.M, params.K, params.L
 
@@ -97,20 +103,23 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
             (res.beta != beta0).reshape(L, M), axis=1))
         return bit_errs, sec_errs, res.t_final
 
-    def shard_fn(keys_local, didx_local, idx, signs):
+    def shard_fn(keys_local, didx_local, valid_local, idx, signs):
         def per_trial(key, di):
             d = designs.with_leaves(idx[di], signs[di])
             return one_trial(key, d)
         be, se, it = jax.vmap(per_trial)(keys_local, didx_local)
-        out = jnp.stack([jnp.sum(be), jnp.sum(se), jnp.sum(be > 0),
-                         jnp.sum(it)])
+        v = valid_local  # padded trials contribute nothing
+        out = jnp.stack([jnp.sum(jnp.where(v, be, 0)),
+                         jnp.sum(jnp.where(v, se, 0)),
+                         jnp.sum(jnp.where(v, be > 0, False)),
+                         jnp.sum(jnp.where(v, it, 0))])
         return jax.lax.psum(out, "dp")[None]
 
     fn = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh, check_vma=False,
-        in_specs=(P("dp"), P("dp"), P(), P()),
+        in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
         out_specs=P("dp")))
-    res = fn(keys, didx, designs.idx, designs.signs)
+    res = fn(keys, didx, valid, designs.idx, designs.signs)
     # rows are psum-replicated; in multi-process runs only local shards are
     # addressable, and any one row carries the global counts
     out = np.asarray(res.addressable_shards[0].data)[0]
@@ -159,7 +168,8 @@ def concat_mc_trial_errors(sparc_params: SparcParams, ldpc_params: LdpcParams,
     axis. The whole batch is ONE device program: AMP soft outputs feed the
     batched BP without host round-trips.
 
-    Randomness follows the sparc_mc_counts contract: trial t gets key
+    Randomness follows the module's single trial->randomness contract
+    (see the module docstring / sparc_mc_counts): trial t gets key
     fold(seed, t) and design (seed, t % n_designs) — functions of the
     GLOBAL trial index only, so results are bit-identical on any mesh
     shape. n_trials not divisible by the dp axis is padded up internally

@@ -51,10 +51,19 @@ def numpy_gaussian_amp_trial(L, M, P, R, awgn_var, t_max, rng):
 
 
 @pytest.mark.slow
-def test_gaussian_vs_hadamard_ser_parity():
-    # operating point with SER around 5-20% so both ensembles show errors
-    L, M, P, R = 96, 16, 15.0, 1.7
-    awgn_var = 1.0
+@pytest.mark.parametrize("L,M,P,R,awgn_var", [
+    # M=2 (logM=1): the ensemble the reference's working concat config
+    # actually ran (sparc_new.py:1284-1294 with logM=1,
+    # performance_plots_general.py:26-47)
+    (192, 2, 15.0, 0.8, 4.0),
+    # mid-M point (the original round-2 gate)
+    (96, 16, 15.0, 1.7, 1.0),
+    # high-M point toward the M=512 flagship family
+    (64, 64, 15.0, 1.4, 1.0),
+])
+def test_gaussian_vs_hadamard_ser_parity(L, M, P, R, awgn_var):
+    # operating points chosen so both ensembles show a nonzero,
+    # non-saturated error rate (SER roughly 5-30%)
     t_max = 12
     trials = 24
 

@@ -68,6 +68,25 @@ def test_structure_encode_noiseless_decode(standard, rate, z, ptype):
     assert np.array_equal(app_ref < 0, xs[0].astype(bool))
 
 
+@pytest.mark.parametrize("standard,rate,z,ptype", [
+    ("802.11n", "1/2", 27, "A"), ("802.16", "5/6", 54, "A"),
+    ("802.16", "2/3", 81, "B"), ("802.16", "1/2", 150, "A"),
+])
+def test_encode_matmul_matches_parity_chain(standard, rate, z, ptype):
+    """The MXU generator-matmul encoder is bit-identical to the reference's
+    dual-diagonal super-symbol chain (ldpc.py:400-460) — incl. the z=150
+    concat-production code."""
+    code = get_code(standard, rate, z, ptype)
+    rng = np.random.default_rng(7)
+    us = rng.integers(0, 2, (32, code.K))
+    xs = np.asarray(code.encode(jnp.asarray(us)))
+    assert np.array_equal(xs[:, :code.K], us)
+    assert np.array_equal(xs[:, code.K:], code.parity_chain(us))
+    # 1-D input keeps the unbatched API
+    x1 = np.asarray(code.encode(jnp.asarray(us[0])))
+    assert np.array_equal(x1, xs[0])
+
+
 @pytest.mark.parametrize("dectype", ["sumprod", "sumprod2", "minsum"])
 def test_jax_matches_oracle_noisy(dectype):
     """On noisy AWGN inputs the JAX kernel reproduces the oracle's decisions

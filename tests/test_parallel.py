@@ -21,7 +21,9 @@ def test_devices_available():
 def test_sparc_mc_dp_high_snr_zero_errors():
     mesh = make_mesh(sec=1)
     p = SparcParams(P=15.0, R=1.3, L=128, M=32)
-    c = sparc_mc_counts(p, DecodeParams(t_max=15), 1.0, seed=0,
+    # awgn_var=0.5: comfortably below threshold for every design draw
+    # (at 1.0 a rare design/noise pairing can drop a frame at L=128)
+    c = sparc_mc_counts(p, DecodeParams(t_max=15), 0.5, seed=0,
                         n_trials=16, mesh=mesh)
     assert c["bit_errs"] == 0
     assert c["frame_errs"] == 0
@@ -46,6 +48,20 @@ def test_sparc_mc_partition_invariance():
     assert c1["frames"] == 16
     # R=1.6 is near threshold: some errors expected, none pathological
     assert 0 < c1["bit_errs"] <= c1["bits"]
+
+
+def test_sparc_mc_padding_non_divisible():
+    """n_trials that doesn't divide the dp axis pads internally; counters
+    equal the 1-device run (the single trial->randomness contract)."""
+    p = SparcParams(P=15.0, R=1.6, L=64, M=16)
+    dec = DecodeParams(t_max=10)
+    kw = dict(awgn_var=2.0, seed=3, n_trials=6)
+    c8 = sparc_mc_counts(p, dec, mesh=make_mesh(sec=1), **kw)
+    c1 = sparc_mc_counts(p, dec,
+                         mesh=jax.make_mesh((1, 1), ("dp", "sec"),
+                                            devices=jax.devices()[:1]), **kw)
+    assert c8 == c1, (c8, c1)
+    assert c1["frames"] == 6
 
 
 def test_sparc_mc_pow2_flagship_shape():

@@ -28,6 +28,28 @@ def test_fwht_width_matches_design_engine():
     assert profiling.fwht_width(L2, M2, n2) == d2.w
 
 
+def test_fwht_width_sc_design():
+    """The width model tracks the engine for SC base matrices too
+    (round-3 verdict weak #8: it used to assume a (1,1) base)."""
+    import numpy as np
+    from ldpc_sparc_tpu.config import SparcParams, create_base_matrix
+    p = SparcParams(P=15.0, R=1.4, L=1024, M=32,
+                    spatially_coupled=True, omega=2, Lambda=8)
+    W = create_base_matrix(p, awgn_var=1.0)
+    n = int(p.L * p.logM / p.R)
+    n -= n % W.shape[0]  # engine rounds n down to a multiple of Lr
+    d = SparcDesign.build(W, p.L, p.M, n, seed=0)
+    assert profiling.fwht_width(p.L, p.M, n, base_shape=W.shape) == d.w
+    # the old (1,1) assumption mis-modeled SC: per-block width differs
+    assert profiling.fwht_width(p.L, p.M, n, base_shape=W.shape) \
+        != profiling.fwht_width(p.L, p.M, n)
+    # FLOP model accepts the actual nonzero-block count of the band
+    E = len(d.rows)
+    f_sc = profiling.amp_iteration_flops(p.L, p.M, n, max_log_factor=5,
+                                         base_shape=W.shape, n_blocks=E)
+    assert f_sc > 0
+
+
 @pytest.mark.parametrize("mlf", [5, 7, 10])
 def test_amp_iteration_flops_runs_and_scales(mlf):
     L, M, n = 1024, 512, 9216
