@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="reduced size for CPU smoke runs")
     ap.add_argument("--out", default="sc_decode_wave.png")
+    ap.add_argument("--json", default=None,
+                    help="also write the run wall-clock to this path")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed repetitions after the compile run")
     args = ap.parse_args()
 
     import jax
@@ -49,16 +53,41 @@ def main():
     awgn_var = 1.0
 
     key = rngmod.root_key(0)
+
+    def run():
+        bits, beta0, x, design = sparc_mod.sparc_encode(p, awgn_var, 0, key)
+        y = sparc_mod.awgn_channel(x, awgn_var,
+                                   rngmod.derive(key, rngmod.CHANNEL))
+        res = sparc_mod.amp_decode(y, design, p, dec, awgn_var, beta0)
+        jax.block_until_ready(res.nmse)
+        return res
+
     t0 = time.perf_counter()
-    bits, beta0, x, design = sparc_mod.sparc_encode(p, awgn_var, 0, key)
-    y = sparc_mod.awgn_channel(x, awgn_var,
-                               rngmod.derive(key, rngmod.CHANNEL))
-    res = sparc_mod.amp_decode(y, design, p, dec, awgn_var, beta0)
-    jax.block_until_ready(res.nmse)
+    res = run()
     dt = time.perf_counter() - t0
+    steady = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        res = run()
+        steady.append(time.perf_counter() - t0)
     nmse = np.asarray(res.nmse)  # (t_max, Lc)
-    print(f"decode: {dt:.2f} s/run, {int(res.t_final)} iterations "
+    print(f"decode: {dt:.2f} s first run (incl. compile)"
+          + (f", {min(steady):.3f} s steady" if steady else "")
+          + f", {int(res.t_final)} iterations "
           f"(reference CPU: 17.4-24.8 s at 33-36 iterations)")
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"platform": jax.devices()[0].platform,
+                       "config": {"L": p.L, "M": p.M, "omega": p.omega,
+                                  "Lambda": p.Lambda, "R": p.R,
+                                  "t_max": t_max},
+                       "wall_s_first_run": round(dt, 3),
+                       "wall_s_steady": [round(t, 4) for t in steady],
+                       "iterations": int(res.t_final),
+                       "reference_cpu_s": [17.4, 24.8]}, f, indent=1)
+        print(f"wrote {args.json}")
 
     try:
         import matplotlib

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--out", default="sparc_demo.png")
+    ap.add_argument("--json", default=None,
+                    help="also write per-run wall-clocks/BERs to this path")
     args = ap.parse_args()
 
     import jax
@@ -47,18 +49,33 @@ def main():
     awgn_var = 1.0
 
     all_traj = {}
+    stats = {}
     for name, p in configs.items():
-        trajs, times = [], []
+        trajs, times, bers, tf = [], [], [], []
         for seed in range(args.runs):
             t0 = time.perf_counter()
             r = sparc_sim(p, dec, awgn_var, seed=seed)
             jax.block_until_ready(r["nmse"])
             times.append(time.perf_counter() - t0)
             trajs.append(np.asarray(r["nmse"]).mean(axis=-1))
+            bers.append(float(r["ber"]))
+            tf.append(int(r["t_final"]))
             print(f"{name}: run {seed}: ber={float(r['ber']):.4g} "
                   f"t_final={int(r['t_final'])} {times[-1]:.3f}s")
         psi_se, _ = sparc_se(awgn_var, p, dec.t_max, 4000, seed=0)
         all_traj[name] = (np.mean(trajs, axis=0), psi_se.mean(axis=-1))
+        stats[name] = {"wall_s_per_run": [round(t, 4) for t in times],
+                       "ber": bers, "t_final": tf}
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"platform": jax.devices()[0].platform,
+                       "runs_per_config": args.runs,
+                       "note": "first run per config includes compile; "
+                               "reference-CPU ranges in BASELINE.md",
+                       "configs": stats}, f, indent=1)
+        print(f"wrote {args.json}")
 
     try:
         import matplotlib

@@ -194,6 +194,22 @@ def cmd_concat_sweep(args):
     cfg_key = _config_key(ldpc=ldpc, sp_plain=sp_plain, sp_ldpc=sp_ldpc,
                           lengths=lengths, t_max=args.t_max, runs=args.runs,
                           semi=args.semi_protected)
+    # one meta record per config: makes the committed artifact
+    # self-describing (incl. lengths.L_unprotected for semi-protected runs)
+    meta_key = f"meta:{cfg_key}"
+    if not store.has(meta_key):
+        store.append(meta_key, {"config": {
+            "standard": args.standard, "rate": args.rate, "z": args.z,
+            "P": args.P, "mults": args.mults, "logM": args.logM,
+            "R_sparc": args.R_sparc, "t_max": args.t_max, "runs": args.runs,
+            "semi_protected": bool(args.semi_protected),
+            "percent_protected": (float(args.percent_protected)
+                                  if args.semi_protected else 1.0),
+            "overall_rate": float(rate), "L_sparc": int(L_sparc),
+            "L_sparc_ldpc": int(L_sparc_ldpc),
+            "lengths": {"k_ldpc": int(lengths.k_ldpc),
+                        "mults": int(lengths.mults),
+                        "L_unprotected": int(lengths.L_unprotected)}}})
     series = {d: [] for d in decoders}
     for snr in snrs:
         awgn_var = args.P / snr
