@@ -25,7 +25,11 @@ ART = Path(__file__).resolve().parent.parent / "docs" / "artifacts" / \
 @pytest.mark.skipif(not ART.exists(), reason="campaign artifact not present")
 def test_campaign_artifact_matches_reference_data():
     doc = json.loads(ART.read_text())
-    assert len(doc["configs"]) >= 6
+    # the reference's signature dataset is ALL 36 grid configs
+    # (ldpc_awgn.py:6-43); the committed artifact must cover (nearly) all
+    # of them, not a sample
+    assert len(doc["configs"]) >= 30, len(doc["configs"])
+    assert len({c["sim_id"] for c in doc["configs"]}) == len(doc["configs"])
     compared = 0
     for cfg in doc["configs"]:
         ref = cfg["reference_points"]
@@ -53,5 +57,7 @@ def test_campaign_artifact_matches_reference_data():
                 (cfg["standard"], cfg["rate"], cfg["z"], rp["snr"],
                  close["ber"], rp["ber"])
             compared += 1
-    # the artifact must actually overlap the reference trajectories
-    assert compared >= 40, compared
+    # the artifact must actually overlap the reference trajectories at
+    # reference depth (a 36-config artifact matches 300+ points; 150 is
+    # a conservative floor that still forbids thin overlap)
+    assert compared >= 150, compared
