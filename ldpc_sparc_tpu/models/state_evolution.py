@@ -97,9 +97,14 @@ def sparc_se(awgn_var: float, params: SparcParams, t_max: int,
 
     key = jax.random.key(seed)
     if K > 2:
+        # keep only REAL arrays at the jit boundary and build the complex
+        # sample inside the traced expectation: eager complex arithmetic
+        # and complex device->host transfer are both UNIMPLEMENTED on the
+        # axon TPU tunnel backend
         kr, ki = jax.random.split(key)
-        u = (jax.random.normal(kr, (mc_samples, M)) +
-             1j * jax.random.normal(ki, (mc_samples, M)))
+        ur = jax.random.normal(kr, (mc_samples, M))
+        ui = jax.random.normal(ki, (mc_samples, M))
+        u = (ur, ui)
     else:
         u = jax.random.normal(key, (mc_samples, M))
 
@@ -107,7 +112,11 @@ def sparc_se(awgn_var: float, params: SparcParams, t_max: int,
     logKM = np.log(K * M)
     psi = np.ones((t_max, Lc))
     tau = None
-    expect = jax.jit(lambda t: se_expectation(t, K, u))
+    if K > 2:
+        expect = jax.jit(lambda t: se_expectation(
+            t, K, jax.lax.complex(u[0], u[1])))
+    else:
+        expect = jax.jit(lambda t: se_expectation(t, K, u))
     for t in range(t_max - 1):
         tau_prev = tau
         phi = awgn_var + (Wj @ jnp.asarray(psi[t], jnp.float32)) / Lc
