@@ -38,8 +38,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from ldpc_sparc_tpu import SparcParams, DecodeParams
-    from ldpc_sparc_tpu.models import sparc as sparc_mod
-    from ldpc_sparc_tpu.utils import rng as rngmod
+    from ldpc_sparc_tpu.models.sparc import sparc_sim
 
     if args.small:
         p = SparcParams(P=15.0, R=1.4, L=256, M=32,
@@ -52,28 +51,26 @@ def main():
     dec = DecodeParams(t_max=t_max)
     awgn_var = 1.0
 
-    key = rngmod.root_key(0)
-
-    def run():
-        bits, beta0, x, design = sparc_mod.sparc_encode(p, awgn_var, 0, key)
-        y = sparc_mod.awgn_channel(x, awgn_var,
-                                   rngmod.derive(key, rngmod.CHANNEL))
-        res = sparc_mod.amp_decode(y, design, p, dec, awgn_var, beta0)
-        jax.block_until_ready(res.nmse)
-        return res
+    def run(seed):
+        # one jitted device program per trial (fresh design draw per run,
+        # like the notebook's fresh A): encode -> AWGN -> AMP decode
+        r = sparc_sim(p, dec, awgn_var, seed=seed)
+        jax.block_until_ready(r["nmse"])
+        return r
 
     t0 = time.perf_counter()
-    res = run()
+    res = run(0)
     dt = time.perf_counter() - t0
     steady = []
-    for _ in range(args.reps):
+    for s in range(args.reps):
         t0 = time.perf_counter()
-        res = run()
+        res = run(s + 1)
         steady.append(time.perf_counter() - t0)
-    nmse = np.asarray(res.nmse)  # (t_max, Lc)
+    nmse = np.asarray(res["nmse"])  # (t_max, Lc)
+    t_final = int(res["t_final"])
     print(f"decode: {dt:.2f} s first run (incl. compile)"
           + (f", {min(steady):.3f} s steady" if steady else "")
-          + f", {int(res.t_final)} iterations "
+          + f", {t_final} iterations "
           f"(reference CPU: 17.4-24.8 s at 33-36 iterations)")
 
     if args.json:
@@ -85,7 +82,7 @@ def main():
                                   "t_max": t_max},
                        "wall_s_first_run": round(dt, 3),
                        "wall_s_steady": [round(t, 4) for t in steady],
-                       "iterations": int(res.t_final),
+                       "iterations": t_final,
                        "reference_cpu_s": [17.4, 24.8]}, f, indent=1)
         print(f"wrote {args.json}")
 

@@ -67,3 +67,21 @@ def test_bp_decode_pallas_backend_multidim_batch():
     np.testing.assert_array_equal(np.asarray(r.iterations),
                                   np.zeros((2, 3), np.int32))
     assert np.array_equal(np.asarray(r.app) < 0, xs.astype(bool))
+
+
+def test_bp_backend_env_validated(monkeypatch):
+    """An invalid LDPC_SPARC_BP_BACKEND raises instead of falling through
+    (advisor r3); a valid explicit value wins for the small-batch helper."""
+    import pytest
+    from ldpc_sparc_tpu.ops.bp import (default_bp_backend,
+                                       small_batch_bp_backend)
+    monkeypatch.setenv("LDPC_SPARC_BP_BACKEND", "auto")
+    with pytest.raises(ValueError):
+        default_bp_backend()
+    with pytest.raises(ValueError):
+        small_batch_bp_backend()
+    monkeypatch.setenv("LDPC_SPARC_BP_BACKEND", "pallas")
+    assert default_bp_backend() == "pallas"
+    assert small_batch_bp_backend() == "pallas"
+    monkeypatch.delenv("LDPC_SPARC_BP_BACKEND")
+    assert small_batch_bp_backend() == "xla"
