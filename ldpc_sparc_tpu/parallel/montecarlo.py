@@ -276,12 +276,16 @@ def _batch_counts(code, snr_db, keys_b, max_iters, dectype, bp_backend):
 def _batch_counts_jit(code, snr_db, root, ctr, batch, max_iters, dectype,
                       bp_backend):
     # key derivation lives inside the program: the campaign loop then costs
-    # ONE dispatch per batch (ctr and snr are traced scalars)
+    # ONE dispatch per batch (ctr and snr are traced scalars). The three
+    # counters come back STACKED in one array: each separate scalar
+    # device->host read pays a full tunnel round trip (~22 ms measured on
+    # the v5e tunnel — 3 separate int() reads cost 81 ms/batch vs 37 ms
+    # for one), so the host loop must make exactly one transfer per batch.
     keys_b = jax.vmap(lambda i: jax.random.fold_in(root, i))(
         ctr + jnp.arange(batch))
     be, bl, it = _batch_counts(code, snr_db, keys_b, max_iters, dectype,
                                bp_backend)
-    return jnp.sum(be), jnp.sum(bl), jnp.sum(it)
+    return jnp.stack([jnp.sum(be), jnp.sum(bl), jnp.sum(it)])
 
 
 @partial(jax.jit, static_argnames=("code", "max_iters", "dectype",
@@ -316,10 +320,10 @@ def _ldpc_block_counts(code: LdpcCode, snr_db: float, root, ctr: int,
     instances) and cost one dispatch each."""
     snr_arr = jnp.float32(snr_db)
     if mesh is None:
-        be, bl, it = _batch_counts_jit(code, snr_arr, root,
-                                       jnp.int32(ctr), batch, max_iters,
-                                       dectype, bp_backend)
-        return int(be), int(bl), int(it)
+        out = np.asarray(_batch_counts_jit(code, snr_arr, root,
+                                           jnp.int32(ctr), batch, max_iters,
+                                           dectype, bp_backend))
+        return int(out[0]), int(out[1]), int(out[2])
 
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
         jnp.arange(ctr, ctr + batch))
@@ -373,17 +377,55 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
     ctr = int(start_ctr)
     on_point_takes_ctr = (on_point is not None and
                           len(inspect.signature(on_point).parameters) >= 2)
+
+    # Single-chip batches are double-buffered: the NEXT batch (same SNR,
+    # next key-counter window) is dispatched before the current batch's
+    # counters are read back, and each batch's counter array starts its
+    # device->host copy IMMEDIATELY after its compute is enqueued
+    # (copy_to_host_async) — otherwise the FIFO device stream queues the
+    # read-back BEHIND the speculative batch and the loop runs slower
+    # than serial. Measured on the v5e tunnel (z=27 near waterfall):
+    # 29.1 ms/batch serial, 14.0 ms/batch pipelined+async-copy. When a
+    # point stops, the one speculative in-flight batch is discarded and
+    # the key counter rewound to its start — the next point then consumes
+    # exactly the key windows the serial loop would have: measured
+    # records are BIT-IDENTICAL to the unpipelined loop
+    # (tests/test_parallel.py::test_waterfall_campaign_pipeline_identical).
+    # The mesh path keeps the serial read (its key derivation is host-side).
+    def dispatch(snr_now, ctr0):
+        if mesh is None:
+            fut = _batch_counts_jit(code, jnp.float32(snr_now), root,
+                                    jnp.int32(ctr0), batch, max_iters,
+                                    dectype, bp_backend)
+            fut.copy_to_host_async()
+            return fut
+        return None  # mesh path: computed synchronously in read()
+
+    def read(fut, snr_now, ctr0):
+        if mesh is None:
+            out = np.asarray(fut)
+            return int(out[0]), int(out[1]), int(out[2])
+        return _ldpc_block_counts(code, snr_now, root, ctr0, batch,
+                                  max_iters, dectype, mesh, bp_backend)
+
     for point in range(int(start_point), n_measurements):
         nbit = nblk = nblocks = nit = 0
+        inflight = None  # (ctr0, future)
         while nblk < min_errors and nblocks < max_blocks:
-            be, bl, it = _ldpc_block_counts(code, snr, root, ctr, batch,
-                                            max_iters, dectype, mesh,
-                                            bp_backend)
+            if inflight is None:
+                inflight = (ctr, dispatch(snr, ctr))
+                ctr += batch
+            spec = (ctr, dispatch(snr, ctr))  # speculative, same SNR
             ctr += batch
+            be, bl, it = read(inflight[1], snr, inflight[0])
+            inflight = spec
             nbit += be
             nblk += bl
             nit += it
             nblocks += batch
+        # the speculative batch belongs to this point's SNR; the next
+        # point measures elsewhere — discard it and rewind the counter
+        ctr = inflight[0]
         rec = (ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
                ldpc_params.ptype, float(snr), nblocks, nblk,
                nblocks * code.K, nbit, nit)

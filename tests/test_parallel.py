@@ -243,6 +243,18 @@ def test_waterfall_campaign_small():
     assert recs[1][4] > recs[0][4]  # adaptive SNR stepping increases SNR
 
 
+def test_waterfall_campaign_pipeline_identical():
+    """The double-buffered single-chip campaign loop (mesh=None) produces
+    BIT-IDENTICAL records to the serial mesh path: the speculative batch
+    is discarded and its key window rewound at every point boundary."""
+    kw = dict(seed=0, n_measurements=3, min_errors=4, max_blocks=64,
+              batch=16, max_iters=30)
+    params = LdpcParams(standard="802.11n", rate="1/2", z=27)
+    piped = ldpc_waterfall_campaign(params, mesh=None, **kw)
+    serial = ldpc_waterfall_campaign(params, mesh=make_mesh(sec=1), **kw)
+    assert piped == serial
+
+
 def test_multiprocess_distributed_smoke():
     """Launch the 2-process jax.distributed Monte-Carlo example — the same
     code path a multi-host pod uses (psum across the process boundary)."""
