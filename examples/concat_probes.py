@@ -40,6 +40,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ldpc_sparc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from ldpc_sparc_tpu.config import (SparcParams, LdpcParams, DecodeParams,
                                        param_calc)

@@ -37,6 +37,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ldpc_sparc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ldpc_sparc_tpu import SparcParams, DecodeParams
     from ldpc_sparc_tpu.models.sparc import sparc_sim
 

@@ -30,6 +30,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ldpc_sparc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from ldpc_sparc_tpu import SparcParams, DecodeParams, sparc_sim, sparc_se
 
     configs = {

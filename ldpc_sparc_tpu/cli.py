@@ -35,6 +35,8 @@ def _init_jax(args):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     return jax
 
 
