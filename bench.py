@@ -116,6 +116,22 @@ def main():
         bp_dt = min(bp_dt, (time.perf_counter() - t0) / bp_reps)
     bp_errs = int(jnp.sum((res_bp.app < 0).astype(jnp.int32) != xs))
 
+    # tertiary metric: end-to-end waterfall-campaign throughput (the
+    # reference's headline workload; 2018 profile: 7.2 blocks/s/core).
+    # A 16-point segment of one grid config through the double-buffered
+    # loop (encode+BPSK+AWGN+LLR+BP, full adaptive protocol).
+    from ldpc_sparc_tpu.config import LdpcParams
+    from ldpc_sparc_tpu.parallel.montecarlo import ldpc_waterfall_campaign
+    cparams = LdpcParams(standard="802.16", rate="1/2", z=27, ptype="A")
+    ldpc_waterfall_campaign(cparams, seed=7, n_measurements=2, batch=512,
+                            dectype="sumprod2", max_iters=200)  # warm
+    t0 = time.perf_counter()
+    crecs = ldpc_waterfall_campaign(cparams, seed=7, n_measurements=16,
+                                    batch=512, dectype="sumprod2",
+                                    max_iters=200)
+    c_dt = time.perf_counter() - t0
+    c_blocks = sum(r[5] for r in crecs)
+
     result = {
         "metric": "sparc_amp_iterations_per_s",
         "value": round(iters_per_s, 2),
@@ -130,6 +146,8 @@ def main():
             "ldpc_bp_ms_per_block": round(bp_dt / bp_batch * 1e3, 4),
             "ldpc_bp_vs_baseline": round(138.0 / (bp_dt / bp_batch * 1e3), 1),
             "ldpc_bp_bit_errs": bp_errs,
+            "campaign_blocks_per_s": round(c_blocks / c_dt, 1),
+            "campaign_vs_baseline": round(c_blocks / c_dt / 7.2, 1),
         },
     }
     print(json.dumps(result))
