@@ -31,6 +31,13 @@ def _rows(path):
 @pytest.mark.skipif(not SWEEP.exists(), reason="sweep artifact not present")
 def test_concat_sweep_covers_all_decoder_families():
     rows = _rows(SWEEP)
+    # the store may hold several protocol generations (it is a resumable
+    # cache); gate the latest meta-described config, falling back to all
+    # rows for artifacts predating meta records
+    metas = [r for r in rows if "config" in r]
+    if metas:
+        cfg = metas[-1]["key"].split(":")[1]
+        rows = [r for r in rows if f":{cfg}:" in r.get("key", "")]
     decoders = {r["decoder"] for r in rows if "decoder" in r}
     expected = {"amp_only", "sequential", "sequential_rerun", "naive",
                 "naive_posteriors", "integrated", "integrated_posteriors"}
