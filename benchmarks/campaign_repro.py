@@ -75,6 +75,9 @@ def main():
         "dectype": "sumprod2", "max_iters": 200}
     out = {"platform": jax.devices()[0].platform, "protocol": protocol,
            "configs": []}
+    art_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "artifacts")
+    art_path = os.path.join(art_dir, "campaign_tpu.json")
     total_blocks = total_wall = 0
     for sim_id in [int(s) for s in args.sim_ids.split(",")]:
         std, rate, z, pt = SIM_PARAM_TABLE[sim_id - 1]
@@ -104,57 +107,67 @@ def main():
         print(json.dumps({k: cfg[k] for k in
                           ("sim_id", "standard", "rate", "z", "ptype",
                            "wall_s", "blocks", "blocks_per_s")}), flush=True)
+        # checkpoint after every config: a long multi-config run that dies
+        # keeps everything measured so far (the merge accumulates)
+        _write_artifact(out, art_path, plot=False)
 
-    # extrapolate to the full 1,152-point 2018 campaign (36 configs):
-    # measured-rate estimate, stated as such
-    per_cfg = total_wall / len(out["configs"])
-    out["summary"] = {
+    merged = _write_artifact(out, art_path, plot=True)
+    print(json.dumps(merged["summary"]))
+
+
+REF_NOTE = ("grid engine, Sept 2018; 'could take months on a single "
+            "computer' (ldpc_jossy/README.md:158-161)")
+
+
+def _summary(configs):
+    total_wall = sum(c["wall_s"] for c in configs)
+    total_blocks = sum(c["blocks"] for c in configs)
+    per_cfg = total_wall / max(len(configs), 1)
+    return {
         "total_wall_s": round(total_wall, 1),
         "total_blocks": total_blocks,
+        "configs_measured": len(configs),
         "mean_wall_per_config_s": round(per_cfg, 1),
         "full_36_config_campaign_estimate_min": round(36 * per_cfg / 60, 1),
-        "reference_note": "grid engine, Sept 2018; 'could take months on a "
-                          "single computer' (ldpc_jossy/README.md:158-161)",
+        "reference_note": REF_NOTE,
     }
 
-    art_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "artifacts")
-    art_path = os.path.join(art_dir, "campaign_tpu.json")
-    # merge with any previously measured configs (keyed by sim_id) so the
-    # artifact accumulates coverage of the 36-entry grid across runs
+
+def _write_artifact(out, art_path, plot):
+    """Merge this run's configs with any previously measured ones (keyed
+    by sim_id; the artifact accumulates coverage of the 36-entry grid
+    across runs) and write the JSON (+ optionally the overlay plot).
+    Called after EVERY measured config so a killed multi-config run keeps
+    everything measured so far."""
+    merged = list(out["configs"])
     if os.path.exists(art_path):
         prev = json.load(open(art_path))
-        have = {c["sim_id"] for c in out["configs"]}
+        have = {c["sim_id"] for c in merged}
         # each config carries the protocol it was measured under (older
         # artifacts stored one top-level protocol block: backfill from it)
         prev_proto = prev.get("protocol", {})
         for c in prev.get("configs", []):
             if c["sim_id"] not in have:
                 c.setdefault("protocol", dict(prev_proto))
-                out["configs"].append(c)
-        out["configs"].sort(key=lambda c: c["sim_id"])
-        total_wall = sum(c["wall_s"] for c in out["configs"])
-        total_blocks = sum(c["blocks"] for c in out["configs"])
-        per_cfg = total_wall / len(out["configs"])
-        out["summary"] = {
-            "total_wall_s": round(total_wall, 1),
-            "total_blocks": total_blocks,
-            "configs_measured": len(out["configs"]),
-            "mean_wall_per_config_s": round(per_cfg, 1),
-            "full_36_config_campaign_estimate_min":
-                round(36 * per_cfg / 60, 1),
-            "reference_note": out["summary"]["reference_note"],
-        }
+                merged.append(c)
+    merged.sort(key=lambda c: c["sim_id"])
+    doc = dict(out, configs=merged, summary=_summary(merged))
     with open(art_path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(doc, f, indent=1)
+    if plot:
+        _plot(doc, os.path.join(os.path.dirname(art_path),
+                                "campaign_tpu.png"))
+    return doc
 
+
+def _plot(doc, png_path):
     # overlay plot: ours (lines+markers) vs 2018 measured (hollow markers)
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(8, 5.5))
     colors = plt.cm.tab10.colors
-    for i, cfg in enumerate(out["configs"]):
+    for i, cfg in enumerate(doc["configs"]):
         c = colors[i % 10]
         lbl = f'{cfg["standard"]} {cfg["rate"]} z={cfg["z"]}{cfg["ptype"]}'
         snrs = [p["snr"] for p in cfg["points"]]
@@ -172,8 +185,7 @@ def main():
     ax.grid(True, which="both", alpha=0.3)
     ax.legend(fontsize=7)
     fig.tight_layout()
-    fig.savefig(os.path.join(art_dir, "campaign_tpu.png"), dpi=130)
-    print(json.dumps(out["summary"]))
+    fig.savefig(png_path, dpi=130)
 
 
 if __name__ == "__main__":
