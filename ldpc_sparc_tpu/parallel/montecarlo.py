@@ -425,7 +425,10 @@ def ldpc_waterfall_campaign(ldpc_params: LdpcParams, seed: int = 0,
             nblocks += batch
         # the speculative batch belongs to this point's SNR; the next
         # point measures elsewhere — discard it and rewind the counter
-        ctr = inflight[0]
+        # (inflight is None only if the stop condition held immediately,
+        # e.g. min_errors=0)
+        if inflight is not None:
+            ctr = inflight[0]
         rec = (ldpc_params.standard, ldpc_params.rate, ldpc_params.z,
                ldpc_params.ptype, float(snr), nblocks, nblk,
                nblocks * code.K, nbit, nit)
