@@ -98,6 +98,7 @@ def main():
                "blocks_per_s": round(blocks / wall, 1),
                "iters": sum(r[9] for r in recs),
                "points": [{"snr": r[4], "nblocks": r[5], "nblkerr": r[6],
+                           "nbits": r[7], "nbiterr": r[8], "niters": r[9],
                            "ber": r[8] / r[7], "bler": r[6] / r[5]}
                           for r in recs],
                "reference_points": ref_pts}
