@@ -73,3 +73,27 @@ def test_semi_protected_artifact_has_real_prefix():
     # reference-scale (z >= 81) and a real split
     assert m["z"] >= 81, m
     assert m["percent_protected"] < 1.0, m
+
+
+FLAGSHIP = ART_DIR / "flagship_sweep.json"
+
+
+@pytest.mark.skipif(not FLAGSHIP.exists(),
+                    reason="flagship artifact not present")
+def test_flagship_waterfall_matches_se_threshold():
+    """The committed flagship-config waterfall (L=1024, M=512, R=1.0)
+    collapses at the state-evolution fixed point's predicted threshold:
+    SER drops by >10x across the SE threshold snr, and the below-threshold
+    side decodes to SER < 2%."""
+    doc = json.loads(FLAGSHIP.read_text())
+    thr = doc["se_threshold_snr"]
+    assert thr is not None
+    rows = sorted(doc["rows"], key=lambda r: r["snr"])
+    below = [r for r in rows if r["snr"] < thr]     # above-threshold noise
+    decoded = [r for r in rows if r["snr"] >= thr]  # SE predicts decode
+    assert below and decoded
+    assert min(r["ser"] for r in below) > 10 * decoded[0]["ser"]
+    assert decoded[0]["ser"] < 0.02
+    # SE agrees with itself: psi_final small exactly where decode works
+    assert decoded[0]["se_psi_final"] < 0.01
+    assert below[-1]["se_psi_final"] > 0.1
