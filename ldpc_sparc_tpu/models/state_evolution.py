@@ -31,9 +31,10 @@ def se_expectation(tau: jnp.ndarray, K: int, u: jnp.ndarray) -> jnp.ndarray:
     u   : (mc, M) standard normal samples (complex for K > 2)
 
     Returns (T,) expectations. Specializations match sparc_se_E
-    (sparc_public/sparc_se.py:82-115); computed in log-space-free float32 via
-    the same sinh/cosh identities (magnitudes are benign here because tau is
-    bounded below by the rate term).
+    (sparc_public/sparc_se.py:82-115); all K branches are max-shifted so the
+    f32 exponentials never overflow (the reference ran f64, where 1/tau up
+    to ~709 is safe; f32 overflows at ~89, reachable at high-SNR / low-tau
+    modulated operating points).
     """
     tau = jnp.atleast_1d(tau)[:, None]          # (T, 1)
     itau = 1.0 / tau
@@ -58,24 +59,39 @@ def se_expectation(tau: jnp.ndarray, K: int, u: jnp.ndarray) -> jnp.ndarray:
         bot = jnp.exp(a - m) + jnp.exp(-a - m) + jnp.sum(both, axis=-1)
         E = top / bot
     elif K == 4:
+        # max-shifted like the K<=2 branches: sinh/cosh overflow f32 at
+        # argument ~89 (itau at low-tau / high-SNR operating points easily
+        # exceeds that; the reference ran f64 where the limit is ~709).
+        # Multiply top and bottom by e^{-m}: cosh(x)e^{-m} =
+        # (e^{x-m}+e^{-x-m})/2 and the /2 cancels in the ratio.
         u0r, u0i = jnp.real(u[:, 0])[None, :], jnp.imag(u[:, 0])[None, :]
-        a = itau + rtau * u0r
-        expsA = jnp.sinh(a)
-        expsB = jnp.cosh(a) + jnp.cosh(rtau * u0i)
-        cr = rtau[..., None] * jnp.real(u[None, :, 1:])
+        a = itau + rtau * u0r                   # (T, mc)
+        b0 = rtau * u0i                         # (T, mc)
+        cr = rtau[..., None] * jnp.real(u[None, :, 1:])  # (T, mc, M-1)
         ci = rtau[..., None] * jnp.imag(u[None, :, 1:])
-        expsC = jnp.cosh(cr) + jnp.cosh(ci)
-        E = expsA / (expsB + jnp.sum(expsC, axis=-1))
+        m = jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b0)),
+                        jnp.maximum(jnp.abs(cr).max(axis=-1),
+                                    jnp.abs(ci).max(axis=-1)))
+        top = jnp.exp(a - m) - jnp.exp(-a - m)              # 2 sinh(a) e^-m
+        bot = (jnp.exp(a - m) + jnp.exp(-a - m) +
+               jnp.exp(b0 - m) + jnp.exp(-b0 - m) +
+               jnp.sum(jnp.exp(cr - m[..., None]) + jnp.exp(-cr - m[..., None]) +
+                       jnp.exp(ci - m[..., None]) + jnp.exp(-ci - m[..., None]),
+                       axis=-1))
+        E = top / bot
     else:
         c = jnp.asarray(psk_constel(K))         # (K,)
         u0 = u[:, 0][None, :, None]             # (1, mc, 1)
         arg0 = jnp.real((itau[..., None] + rtau[..., None] * u0) *
                         jnp.conj(c))            # (T, mc, K)
-        tmpB = jnp.exp(arg0)
-        tmpA = jnp.real(c) * tmpB
         argC = jnp.real((rtau[..., None, None] * u[None, :, 1:, None]) *
                         jnp.conj(c))            # (T, mc, M-1, K)
-        tmpC = jnp.exp(argC).mean(axis=-1)      # (T, mc, M-1)
+        # shared max shift over both exponent families (cancels in the
+        # ratio); without it e^{itau} overflows f32 at itau ~ 89
+        m = jnp.maximum(arg0.max(axis=-1), argC.max(axis=(-1, -2)))
+        tmpB = jnp.exp(arg0 - m[..., None])
+        tmpA = jnp.real(c) * tmpB
+        tmpC = jnp.exp(argC - m[..., None, None]).mean(axis=-1)
         expsA = tmpA.mean(axis=-1)
         expsB = tmpB.mean(axis=-1)
         E = expsA / (expsB + jnp.sum(tmpC, axis=-1))

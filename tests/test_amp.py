@@ -54,6 +54,38 @@ def test_amp_matches_state_evolution():
         assert abs(nmse[t] - se[t]) < 0.08, (t, nmse[t], se[t])
 
 
+def test_se_expectation_f32_safe_at_low_tau():
+    """K>2 SE branches must be max-shifted: the unshifted sinh/cosh/exp
+    formulas (sparc_public/sparc_se.py:97-115, which ran in f64) overflow
+    f32 at argument ~89 — reached at 1/tau = 200 here — NaNing high-SNR
+    modulated operating points. Regression for the round-4 verdict item."""
+    from ldpc_sparc_tpu.models.state_evolution import se_expectation
+
+    rng = np.random.default_rng(0)
+    mc, M = 1024, 8
+    u = rng.normal(size=(mc, M)) + 1j * rng.normal(size=(mc, M))
+    uj = jnp.asarray(u.astype(np.complex64))
+    taus = jnp.asarray([0.005, 0.02, 0.5], jnp.float32)  # itau = 200, 50, 2
+    for K in (4, 8):
+        E = np.asarray(se_expectation(taus, K, uj))
+        assert np.all(np.isfinite(E)), (K, E)
+        # tau -> 0: the posterior concentrates on the true entry, E -> 1
+        assert E[0] > 0.99, (K, E)
+
+    # the shifted f32 rewrite must agree with the reference's unshifted
+    # formula evaluated in f64 at a tau where both are finite
+    tau = 0.02
+    itau, rt = 1.0 / tau, np.sqrt(1.0 / tau)
+    a = itau + rt * np.real(u[:, 0])
+    b0 = rt * np.imag(u[:, 0])
+    cr, ci = rt * np.real(u[:, 1:]), rt * np.imag(u[:, 1:])
+    E64 = np.mean(np.sinh(a) / (np.cosh(a) + np.cosh(b0) +
+                                (np.cosh(cr) + np.cosh(ci)).sum(axis=1)))
+    E32 = float(np.asarray(se_expectation(
+        jnp.asarray([tau], jnp.float32), 4, uj))[0])
+    assert abs(E32 - E64) < 1e-3, (E32, E64)
+
+
 def test_noise_free_channel():
     params = SparcParams(P=15.0, R=1.0, L=64, M=16)
     key = jax.random.key(0)
