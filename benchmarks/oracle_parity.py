@@ -1,0 +1,289 @@
+"""Flagship-scale BER/SER parity vs an independent NumPy float64 oracle.
+
+Closes SURVEY.md section 4 test-plan item (d) at the north-star scale
+(L=1024, M=512, R=1.0): the JAX/TPU framework's measured section- and
+bit-error rates across the AMP threshold region must agree, within
+Monte-Carlo confidence, with an INDEPENDENT implementation running the
+reference's own engine family — a seeded subsampled-DCT design
+(re-derived from the construction described at
+sparc_public/sparc.py:649-701: rows/columns subsampled from the scaled
+orthonormal DCT matrix, excluding the constant row/column) driven by a
+scalar-tau AMP re-derived from the AMP equations
+(sparc_public/sparc.py:883-999), in float64 NumPy end to end.
+
+The two engines share NOTHING: different language/runtime (NumPy/scipy
+vs JAX/XLA), different design ensemble (subsampled DCT vs SRHT
+Hadamard), different dtype (f64 vs f32), different RNG streams. Agreement
+is therefore an ensemble-level statistical claim, gated per operating
+point with a frame-level 4-sigma confidence bound (sections within a
+frame are correlated, so the unit of replication is the frame).
+
+Writes docs/artifacts/oracle_parity.json (gated by
+tests/test_oracle_parity.py).
+
+Usage: python benchmarks/oracle_parity.py [--np-trials 160]
+           [--jax-trials 1024] [--platform cpu] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from scipy.fft import dct, idct
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "artifacts")
+
+
+# --------------------------------------------------------------------------
+# Independent NumPy float64 oracle (subsampled-DCT design + scalar-tau AMP)
+# --------------------------------------------------------------------------
+
+def make_dct_design(n: int, LM: int, P: float, L: int, rng):
+    """Seeded subsampled-DCT SPARC design (the reference's fast-transform
+    ensemble, sparc_public/sparc.py:649-701): A = sqrt(P/L) * sqrt(w) *
+    C[rows][:, cols] where C is the w-point orthonormal DCT-II matrix and
+    rows/cols are drawn without replacement from [1, w) (index 0 — the
+    constant row/column — is excluded).  sqrt(w)*C entries are
+    sqrt(2)*cos(.), zero mean and unit variance on average, so columns of
+    A have squared norm ~ n*P/L and E||A beta||^2/n = P for a unit-amplitude
+    message vector."""
+    w = 1 << int(np.ceil(np.log2(max(n + 1, LM + 1))))
+    rows = rng.permutation(np.arange(1, w, dtype=np.int64))[:n]
+    cols = rng.permutation(np.arange(1, w, dtype=np.int64))[:LM]
+    scale = np.sqrt(P / L) * np.sqrt(w)
+
+    def Ab(beta):
+        x_ext = np.zeros(w)
+        x_ext[cols] = beta
+        return scale * dct(x_ext, norm="ortho", workers=-1)[rows]
+
+    def Az(z):
+        y_ext = np.zeros(w)
+        y_ext[rows] = z
+        return scale * idct(y_ext, norm="ortho", workers=-1)[cols]
+
+    return Ab, Az
+
+
+def numpy_dct_amp_trial(L: int, M: int, P: float, R: float, awgn_var: float,
+                        t_max: int, rng, rtol: float = 1e-6):
+    """One end-to-end float64 trial: random message -> subsampled-DCT
+    codeword -> AWGN -> scalar-tau AMP -> MAP hard decision.
+
+    AMP recursion (scalar base entry W = P; phi_est_method=1), re-derived
+    from sparc_public/sparc.py:883-999:
+        gamma = P * psi                      (residual var minus noise var)
+        z     = y - A beta + (gamma/phi_prev) z          (Onsager term)
+        phi   = awgn_var + gamma
+        tau   = L * phi / (n * P)            (effective noise variance)
+        s     = beta + (tau/phi) A^T z
+        beta  = softmax_section(s / tau)     (MMSE posterior mean, amp 1)
+        psi   = 1 - ||beta||^2 / L
+    with the reference's early stop allclose(psi, psi_prev, rtol, atol)
+    after t_max-1 iterations and argmax-on-s hard decision.
+
+    Returns (sec_errs, bit_errs, t_final)."""
+    logM = M.bit_length() - 1
+    n = int(L * logM / R)
+    LM = L * M
+
+    Ab, Az = make_dct_design(n, LM, P, L, rng)
+    idx0 = rng.integers(0, M, L)
+    beta0 = np.zeros(LM)
+    beta0[np.arange(L) * M + idx0] = 1.0
+    y = Ab(beta0) + rng.normal(0.0, np.sqrt(awgn_var), n)
+
+    atol = 2 * np.finfo(np.float64).resolution
+    beta = np.zeros(LM)
+    z = y
+    psi = 1.0
+    phi = None
+    s = None
+    t_final = t_max - 1
+    for t in range(t_max - 1):
+        if t > 0:
+            gamma = P * psi
+            z = y - Ab(beta) + (gamma / phi) * z
+        else:
+            gamma = P  # psi = 1 at init
+        phi = awgn_var + gamma
+        tau = L * phi / (n * P)
+        s = beta + (tau / phi) * Az(z)
+        x = (s / tau).reshape(L, M)
+        x -= x.max(axis=1, keepdims=True)
+        e = np.exp(x)
+        beta = (e / e.sum(axis=1, keepdims=True)).reshape(LM)
+        psi_prev = psi
+        psi = 1.0 - (beta ** 2).sum() / L
+        if t > 0 and np.isclose(psi, psi_prev, rtol, atol):
+            t_final = t + 1
+            break
+
+    idx_hat = s.reshape(L, M).argmax(axis=1)
+    sec_errs = int(np.count_nonzero(idx_hat != idx0))
+    # bit errors under the canonical index<->bits bijection: popcount of
+    # the XOR of true and decoded section indices
+    xor = (idx_hat ^ idx0).astype(np.int64)
+    bit_errs = 0
+    for b in range(logM):
+        bit_errs += int(np.count_nonzero((xor >> b) & 1))
+    return sec_errs, bit_errs, t_final
+
+
+def run_numpy_point(L, M, P, R, awgn_var, t_max, trials, seed):
+    """Per-frame section/bit error counts from the NumPy oracle."""
+    rng = np.random.default_rng(seed)
+    sec = np.zeros(trials, np.int64)
+    bits = np.zeros(trials, np.int64)
+    iters = np.zeros(trials, np.int64)
+    for i in range(trials):
+        sec[i], bits[i], iters[i] = numpy_dct_amp_trial(
+            L, M, P, R, awgn_var, t_max, rng)
+    return sec, bits, iters
+
+
+# --------------------------------------------------------------------------
+# JAX/TPU side: per-frame counts through the framework's own decoder
+# --------------------------------------------------------------------------
+
+def run_jax_point(params, decode, awgn_var, trials, seed0, chunk=128):
+    """Per-frame counts from the framework (SRHT Hadamard engine, f32),
+    one fresh design per chunk so design randomness is averaged too."""
+    import jax
+    import jax.numpy as jnp
+    from ldpc_sparc_tpu.ops.transforms import SparcDesign
+    from ldpc_sparc_tpu.models.sparc import amp_decode, awgn_channel
+    from ldpc_sparc_tpu.utils import bits as bitops
+    from ldpc_sparc_tpu.utils import rng as rngmod
+
+    M, K, L = params.M, params.K, params.L
+
+    @jax.jit
+    def chunk_counts(design, keys):
+        def one(key):
+            kb = rngmod.derive(key, rngmod.BITS)
+            kc = rngmod.derive(key, rngmod.CHANNEL)
+            b = bitops.random_bits(kb, params.bit_len)
+            beta0 = bitops.bits_to_msg_vector(b, M, K)
+            y = awgn_channel(design.ab(beta0), awgn_var, kc)
+            res = amp_decode(y, design, params, decode, awgn_var)
+            b_out = bitops.msg_vector_to_bits(res.beta, M, K)
+            sec = jnp.sum(jnp.any((res.beta != beta0).reshape(L, M), axis=1))
+            return sec, jnp.sum(b != b_out), res.t_final
+        return jax.vmap(one)(keys)
+
+    import jax.random as jrand
+    n_chunks = (trials + chunk - 1) // chunk
+    sec_all, bit_all, it_all = [], [], []
+    for c in range(n_chunks):
+        design = SparcDesign.for_params(params, awgn_var, seed=(seed0, c))
+        root = rngmod.root_key((seed0, 1000 + c))
+        keys = jax.vmap(lambda i: jrand.fold_in(root, i))(jnp.arange(chunk))
+        sec, bit, it = chunk_counts(design, keys)
+        sec_all.append(np.asarray(sec))
+        bit_all.append(np.asarray(bit))
+        it_all.append(np.asarray(it))
+    sec = np.concatenate(sec_all)[:trials]
+    bit = np.concatenate(bit_all)[:trials]
+    it = np.concatenate(it_all)[:trials]
+    return sec, bit, it
+
+
+def summarize(sec, bits, iters, L, logM):
+    frames = len(sec)
+    fser = sec / L
+    fber = bits / (L * logM)
+    return {
+        "trials": int(frames),
+        "sec_errs": int(sec.sum()), "sections": int(frames * L),
+        "bit_errs": int(bits.sum()), "bits": int(frames * L * logM),
+        "ser": float(sec.sum() / (frames * L)),
+        "ber": float(bits.sum() / (frames * L * logM)),
+        "fer": float(np.mean(sec > 0)),
+        "frame_ser_std": float(fser.std(ddof=1)),
+        "frame_ber_std": float(fber.std(ddof=1)),
+        "avg_iters": float(iters.mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--np-trials", type=int, default=160)
+    ap.add_argument("--jax-trials", type=int, default=1024)
+    ap.add_argument("--t-max", type=int, default=30)
+    ap.add_argument("--quick", action="store_true",
+                    help="2 points, few trials (smoke only; do not commit)")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from ldpc_sparc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    from ldpc_sparc_tpu import SparcParams, DecodeParams
+
+    params = SparcParams(P=15.0, R=1.0, L=1024, M=512)
+    decode = DecodeParams(t_max=args.t_max)
+    logM = params.M.bit_length() - 1
+
+    # threshold region of the flagship config (SE threshold snr ~3.88,
+    # docs/artifacts/flagship_sweep.json): two above-threshold points with
+    # O(10%) error rates, one at threshold, one below
+    snrs = [3.25, 3.5625, 3.875, 4.1875]
+    np_trials, jax_trials = args.np_trials, args.jax_trials
+    if args.quick:
+        snrs = [3.25, 4.1875]
+        np_trials, jax_trials = 8, 64
+
+    points = []
+    t0 = time.perf_counter()
+    for i, snr in enumerate(snrs):
+        var = float(params.P / snr)
+        tj0 = time.perf_counter()
+        js, jb, ji = run_jax_point(params, decode, var, jax_trials,
+                                   seed0=400 + i)
+        tj = time.perf_counter() - tj0
+        tn0 = time.perf_counter()
+        ns, nb, ni = run_numpy_point(params.L, params.M, params.P, params.R,
+                                     var, args.t_max, np_trials,
+                                     seed=8000 + i)
+        tn = time.perf_counter() - tn0
+        jrow = summarize(js, jb, ji, params.L, logM)
+        nrow = summarize(ns, nb, ni, params.L, logM)
+        # frame-level Welch sigma of the SER difference
+        sig = float(np.sqrt(jrow["frame_ser_std"] ** 2 / jrow["trials"] +
+                            nrow["frame_ser_std"] ** 2 / nrow["trials"]))
+        points.append({"snr": snr, "awgn_var": var,
+                       "jax": jrow, "numpy": nrow,
+                       "ser_diff": abs(jrow["ser"] - nrow["ser"]),
+                       "ser_sigma": sig,
+                       "jax_wall_s": round(tj, 1),
+                       "numpy_wall_s": round(tn, 1)})
+        print(json.dumps({"snr": snr, "jax_ser": jrow["ser"],
+                          "np_ser": nrow["ser"], "sigma": sig}), flush=True)
+
+    out = {"platform": jax.devices()[0].platform,
+           "config": {"P": params.P, "R": params.R, "L": params.L,
+                      "M": params.M, "t_max": args.t_max},
+           "oracle": "independent NumPy float64 subsampled-DCT AMP "
+                     "(benchmarks/oracle_parity.py)",
+           "wall_s": round(time.perf_counter() - t0, 1),
+           "quick": bool(args.quick),
+           "points": points}
+    path = os.path.join(ART, "oracle_parity.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"artifact": path, "wall_s": out["wall_s"]}))
+
+
+if __name__ == "__main__":
+    main()
