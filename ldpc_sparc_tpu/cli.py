@@ -63,6 +63,11 @@ def cmd_sparc_sweep(args):
     if args.power_allocated:
         kwargs.update(power_allocated=True, B=args.B,
                       R_PA_ratio=args.R_PA_ratio)
+    if args.modulated:
+        # K-PSK modulated SPARCs (sparc_public/sparc_demo.ipynb cell 14);
+        # K > 2 requires the complex design (config.SparcParams invariant)
+        kwargs.update(modulated=True, K=args.K,
+                      is_complex=args.complex or args.K > 2)
     params = SparcParams(**kwargs)
     decode = DecodeParams(t_max=args.t_max)
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
@@ -83,8 +88,10 @@ def cmd_sparc_sweep(args):
         row["snr"] = float(snr)
         store.append(key, row)
         rows.append({"key": key, **row})
-        print(json.dumps({"snr": float(snr), "ber": row["ber"],
-                          "ser": row["ser"]}))
+        line = {"snr": float(snr), "ber": row["ber"], "ser": row["ser"]}
+        if "ler" in row:
+            line.update(ler=row["ler"], ver=row["ver"])
+        print(json.dumps(line))
     return rows
 
 
@@ -193,9 +200,13 @@ def cmd_concat_sweep(args):
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)
     stem = "concat_sweep_semi" if args.semi_protected else "concat_sweep"
     store = ResultsStore(Path(args.out) / f"{stem}.jsonl")
+    # store_version=2: rows before the round-4 SNR-convention change stored
+    # the LINEAR snr under 'snr_db' with no 'snr' key; versioning the key
+    # re-measures those points instead of mixing units in one resumed
+    # series (advisor round-4)
     cfg_key = _config_key(ldpc=ldpc, sp_plain=sp_plain, sp_ldpc=sp_ldpc,
                           lengths=lengths, t_max=args.t_max, runs=args.runs,
-                          semi=args.semi_protected)
+                          semi=args.semi_protected, store_version=2)
     # one meta record per config: makes the committed artifact
     # self-describing (incl. lengths.L_unprotected for semi-protected runs)
     meta_key = f"meta:{cfg_key}"
@@ -266,8 +277,9 @@ def cmd_plot_results(args):
     records = load_records(args.input)
     if not records:
         raise SystemExit(f"no measurement records found in {args.input}")
-    plot_waterfalls(records, args.output)
-    print(json.dumps({"records": len(records), "out": args.output}))
+    plot_waterfalls(records, args.output, metric=args.metric)
+    print(json.dumps({"records": len(records), "out": args.output,
+                      "metric": args.metric}))
 
 
 def main(argv=None):
@@ -291,6 +303,11 @@ def main(argv=None):
     p.add_argument("--power-allocated", action="store_true")
     p.add_argument("--B", type=int, default=32)
     p.add_argument("--R-PA-ratio", type=float, default=1.0)
+    p.add_argument("--modulated", action="store_true",
+                   help="K-PSK modulated SPARC (demo cell 14)")
+    p.add_argument("--K", type=int, default=4)
+    p.add_argument("--complex", action="store_true",
+                   help="complex design (implied by --K > 2)")
     p.set_defaults(fn=cmd_sparc_sweep)
 
     p = sub.add_parser("ldpc-campaign", help="LDPC BER waterfall campaign")
@@ -350,6 +367,9 @@ def main(argv=None):
     p.add_argument("input", help="results.txt (tuple lines) or results.csv")
     p.add_argument("output", nargs="?", default="waterfalls.pdf",
                    help=".pdf = multi-page per (standard, rate); .png = grid")
+    p.add_argument("--metric", choices=("ber", "bler"), default="ber",
+                   help="y-axis metric (BLER is computed from the same "
+                        "records, io/results.py:waterfall_metrics)")
     p.set_defaults(fn=cmd_plot_results)
 
     args = ap.parse_args(argv)

@@ -232,17 +232,20 @@ def waterfall_metrics(rec: Tuple) -> dict:
 
 
 def plot_waterfalls(records: Iterable[Tuple], out_path,
-                    title: str = "LDPC BER waterfalls"):
-    """BER-vs-Eb/N0 plot with Shannon-limit anchors (disp_res.py:40-131).
+                    title: str = "LDPC BER waterfalls", metric: str = "ber"):
+    """BER- (or BLER-) vs-Eb/N0 plot with Shannon-limit anchors
+    (disp_res.py:40-131).
 
     A .pdf out_path produces a multi-page document, one page per
     (standard, rate) group (the reference's multi-page PDF export,
     disp_res.py:7-13); any other extension writes a single combined figure.
+    metric: 'ber' (default) or 'bler' — waterfall_metrics computes both.
     """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    assert metric in ("ber", "bler"), metric
     groups = {}
     for rec in records:
         m = waterfall_metrics(rec)
@@ -257,13 +260,13 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
             if ptype != "A":
                 label += f" type {ptype}"
             ax.semilogy([m["ebn0_db"] for m in ms],
-                        [max(m["ber"], 1e-9) for m in ms],
+                        [max(m[metric], 1e-9) for m in ms],
                         "o-", label=label)
             R = round(_rate_float(rate), 3)
             if R in SHANNON_EBN0_DB:
                 ax.axvline(SHANNON_EBN0_DB[R], ls=":", color="gray", lw=1)
         ax.set_xlabel("Eb/N0 (dB)")
-        ax.set_ylabel("BER")
+        ax.set_ylabel(metric.upper())
         ax.grid(True, which="both", alpha=0.3)
         ax.legend(fontsize=8)
 
@@ -305,9 +308,15 @@ def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(10, 4))
     floor = 1e-9
-    linear_axis = any(s and "snr" in s[0] for s in rows)
+
+    def row_snr(r):
+        # normalize PER ROW to linear snr: legacy rows carrying only
+        # 'snr_db' are converted at plot time, so a heterogeneous series
+        # can never silently mix units on one axis (advisor round-4)
+        return r["snr"] if "snr" in r else 10 ** (r["snr_db"] / 10)
+
     for series, label in zip(rows, labels):
-        snr = [r.get("snr", r.get("snr_db")) for r in series]
+        snr = [row_snr(r) for r in series]
         ber = [max(r["ber"], floor) for r in series]
         if series and "ber_min" in series[0] and "ber_max" in series[0]:
             lo = [max(b - max(r["ber_min"], floor), 0.0)
@@ -319,7 +328,7 @@ def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
             ax.set_yscale("log")
         else:
             ax.semilogy(snr, ber, "o-", label=label)
-    ax.set_xlabel("SNR (linear)" if linear_axis else "SNR (dB)")
+    ax.set_xlabel("SNR (linear)")
     ax.set_ylabel("BER")
     ax.set_title(title)
     ax.grid(True, which="both", alpha=0.3)

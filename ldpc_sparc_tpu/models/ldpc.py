@@ -125,6 +125,8 @@ class LdpcCode:
         # parity generator: row i = parity bits of unit info word e_i.
         # 0/1 entries are exact in bfloat16 and each dot product is an
         # integer <= K < 2^24, exact in the MXU's f32 accumulator.
+        assert self.K < (1 << 24), \
+            "matmul encoder exactness requires K < 2^24 (f32 accumulator)"
         gp = self.parity_chain(np.eye(self.K, dtype=np.int64))
         self._Gp = jnp.asarray(gp, jnp.bfloat16)
 

@@ -310,12 +310,15 @@ class SparcDesign:
         return np.asarray(jax.vmap(self.ab)(eye)).T
 
 
-def build_batched_designs(W: np.ndarray, L: int, M: int, n: int, seed,
-                          batch: int) -> SparcDesign:
-    """A batch of independent designs (fresh A per Monte-Carlo trial, as the
-    reference draws a new seeded transform per trial). The returned design's
-    idx/signs carry a leading batch axis; use with `jax.vmap` over the
-    array leaves."""
-    designs = [SparcDesign.build(W, L, M, n, (seed, b)) for b in range(batch)]
+def stack_designs(params, awgn_var: float, seed, count: int) -> SparcDesign:
+    """A stack of `count` independent designs (fresh A per Monte-Carlo
+    trial, as the reference draws a new seeded transform per run,
+    performance_plots_general.py:102). Design d is seeded (seed, d) — the
+    ONE seed convention for every Monte-Carlo entry point (the module
+    docstring of parallel/montecarlo.py). The returned design's idx/signs
+    carry a leading batch axis; select a trial's design with
+    `with_leaves(idx[d], signs[d])` or vmap over the array leaves."""
+    designs = [SparcDesign.for_params(params, awgn_var, (seed, d))
+               for d in range(count)]
     return designs[0].with_leaves(jnp.stack([d.idx for d in designs]),
                                   jnp.stack([d.signs for d in designs]))

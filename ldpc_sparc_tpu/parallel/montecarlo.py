@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..config import SparcParams, DecodeParams, LdpcParams, create_base_matrix
-from ..ops.transforms import SparcDesign
+from ..ops.transforms import SparcDesign, stack_designs as _stack_designs
 from ..ops.denoiser import map_estimate
 from ..models.sparc import amp_decode, awgn_channel
 from ..models.ldpc import LdpcCode
@@ -46,12 +46,8 @@ from ..utils import rng as rngmod
 # SPARC Monte Carlo
 # --------------------------------------------------------------------------
 
-def _stack_designs(params: SparcParams, awgn_var: float, seed,
-                   count: int) -> SparcDesign:
-    designs = [SparcDesign.for_params(params, awgn_var, (seed, d))
-               for d in range(count)]
-    return designs[0].with_leaves(jnp.stack([d.idx for d in designs]),
-                                  jnp.stack([d.signs for d in designs]))
+# the stacked-design helper is canonical in ops/transforms.stack_designs
+# (one implementation, one (seed, d) convention), imported above
 
 
 def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
@@ -99,20 +95,32 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         res = amp_decode(y, design, params, decode, awgn_var)
         bits_out = bitops.msg_vector_to_bits(res.beta, M, K)
         bit_errs = jnp.sum(bits != bits_out)
-        sec_errs = jnp.sum(jnp.any(
-            (res.beta != beta0).reshape(L, M), axis=1))
-        return bit_errs, sec_errs, res.t_final
+        if params.modulated:
+            # the reference's modulated error split (calc_ler_ver,
+            # sparc_public/sparc_sim.py:100-175): wrong location vs wrong
+            # PSK value at the right location
+            from ..utils.metrics import location_value_errors
+            _, (loc_e, val_e, sec_e) = location_value_errors(beta0, res.beta, L)
+            sec_errs = jnp.sum(sec_e)
+            loc_errs, val_errs = jnp.sum(loc_e), jnp.sum(val_e)
+        else:
+            sec_errs = jnp.sum(jnp.any(
+                (res.beta != beta0).reshape(L, M), axis=1))
+            loc_errs = val_errs = jnp.zeros((), sec_errs.dtype)
+        return bit_errs, sec_errs, loc_errs, val_errs, res.t_final
 
     def shard_fn(keys_local, didx_local, valid_local, idx, signs):
         def per_trial(key, di):
             d = designs.with_leaves(idx[di], signs[di])
             return one_trial(key, d)
-        be, se, it = jax.vmap(per_trial)(keys_local, didx_local)
+        be, se, le, ve, it = jax.vmap(per_trial)(keys_local, didx_local)
         v = valid_local  # padded trials contribute nothing
         out = jnp.stack([jnp.sum(jnp.where(v, be, 0)),
                          jnp.sum(jnp.where(v, se, 0)),
                          jnp.sum(jnp.where(v, be > 0, False)),
-                         jnp.sum(jnp.where(v, it, 0))])
+                         jnp.sum(jnp.where(v, it, 0)),
+                         jnp.sum(jnp.where(v, le, 0)),
+                         jnp.sum(jnp.where(v, ve, 0))])
         return jax.lax.psum(out, "dp")[None]
 
     fn = jax.jit(jax.shard_map(
@@ -123,12 +131,15 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     # rows are psum-replicated; in multi-process runs only local shards are
     # addressable, and any one row carries the global counts
     out = np.asarray(res.addressable_shards[0].data)[0]
-    return {
+    counts = {
         "bit_errs": int(out[0]), "bits": n_trials * params.bit_len,
         "sec_errs": int(out[1]), "sections": n_trials * L,
         "frame_errs": int(out[2]), "frames": n_trials,
         "iters": int(out[3]),
     }
+    if params.modulated:
+        counts.update({"loc_errs": int(out[4]), "val_errs": int(out[5])})
+    return counts
 
 
 def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
@@ -139,13 +150,19 @@ def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
     for i, v in enumerate(np.atleast_1d(awgn_vars)):
         c = sparc_mc_counts(params, decode, float(v), (seed, i), n_trials,
                             mesh)
-        rows.append({
+        row = {
             "awgn_var": float(v),
             "ber": c["bit_errs"] / c["bits"],
             "ser": c["sec_errs"] / c["sections"],
             "fer": c["frame_errs"] / c["frames"],
             "avg_iters": c["iters"] / c["frames"],
-            **c})
+            **c}
+        if params.modulated:
+            # the reference's modulated metric columns
+            # (sparc_public/sparc_sim.py:100-175)
+            row["ler"] = c["loc_errs"] / c["sections"]
+            row["ver"] = c["val_errs"] / c["sections"]
+        rows.append(row)
     return rows
 
 

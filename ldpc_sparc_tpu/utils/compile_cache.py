@@ -24,5 +24,8 @@ def enable_persistent_cache(root: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return path
-    except Exception:
+    except (AttributeError, ValueError, RuntimeError) as e:
+        # config rejected (old jax / unknown option): visible, not silent
+        import warnings
+        warnings.warn(f"persistent compile cache disabled: {e!r}")
         return None
