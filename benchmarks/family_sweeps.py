@@ -1,0 +1,153 @@
+"""Measurement-depth threshold sweeps for the modulated-complex and
+power-allocated SPARC families.
+
+The reference exercises these two families only as demo cells
+(sparc_public/sparc_demo.ipynb cell 14: complex K=4 modulated, L=2048,
+M=8, R=2.6; cell 6: power-allocated L=1024, M=32, B=32, R=1.4,
+R_PA_ratio=0.9 — both at awgn_var=1.0, i.e. snr=15). This artifact takes
+each family through the same waterfall-vs-state-evolution protocol as the
+flagship config (benchmarks/flagship_sweep.py): measured BER/SER (plus
+the reference's ler/ver location/value split for the modulated family,
+sparc_public/sparc_sim.py:100-175) across the threshold region, overlaid
+with the SE fixed point (models/state_evolution.py).
+
+Writes docs/artifacts/modulated_sweep.{json,png} and
+docs/artifacts/pa_sweep.{json,png} (gated by tests/test_sweep_artifacts.py).
+
+Usage: python benchmarks/family_sweeps.py [--trials 128] [--platform cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "artifacts")
+
+
+def sweep(name, params, dec, snrs, trials, t_max, se_samples=4000,
+          se_t_max=300):
+    # se_t_max >> decoder t_max: the SE threshold is a property of the SE
+    # FIXED POINT; near threshold the SE recursion crosses its bottleneck
+    # only after ~100 iterations (measured: K=4 config at snr 7.25 sits at
+    # psi 0.35 after 25 iters but reaches 0.005 by 100), while the finite-L
+    # decoder's fluctuations carry it through within its own t_max.
+    import jax
+    from ldpc_sparc_tpu import sparc_se
+    from ldpc_sparc_tpu.parallel.montecarlo import sparc_mc_counts
+
+    rows = []
+    t0 = time.perf_counter()
+    for i, snr in enumerate(snrs):
+        var = float(params.P / snr)
+        c = sparc_mc_counts(params, dec, var, seed=(29, i), n_trials=trials)
+        psi, _ = sparc_se(var, params, se_t_max, se_samples, seed=0)
+        row = {"snr": float(snr), "awgn_var": var,
+               "ber": c["bit_errs"] / c["bits"],
+               "ser": c["sec_errs"] / c["sections"],
+               "fer": c["frame_errs"] / c["frames"],
+               "avg_iters": c["iters"] / c["frames"],
+               "se_psi_final": float(np.asarray(psi)[-1].mean()),
+               **{k: int(v) for k, v in c.items()}}
+        if params.modulated:
+            row["ler"] = c["loc_errs"] / c["sections"]
+            row["ver"] = c["val_errs"] / c["sections"]
+        rows.append(row)
+        print(json.dumps({k: row[k] for k in
+                          ("snr", "ser", "ber", "se_psi_final")}), flush=True)
+    wall = time.perf_counter() - t0
+
+    thr = next((r["snr"] for r in rows if r["se_psi_final"] < 0.01), None)
+    cfg = {"P": params.P, "R": params.R, "L": params.L, "M": params.M,
+           "t_max": t_max, "se_t_max": se_t_max,
+           "trials_per_point": trials}
+    if params.modulated:
+        cfg.update(modulated=True, K=params.K, is_complex=True)
+    if params.power_allocated:
+        cfg.update(power_allocated=True, B=params.B,
+                   R_PA_ratio=params.R_PA_ratio)
+    out = {"platform": __import__("jax").devices()[0].platform,
+           "config": cfg, "wall_s": round(wall, 1),
+           "se_threshold_snr": thr, "rows": rows}
+    with open(os.path.join(ART, f"{name}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    floor = 0.1 / (trials * params.L)
+    xs = [r["snr"] for r in rows]
+    ax.semilogy(xs, [max(r["ser"], floor) for r in rows], "o-",
+                label="measured SER")
+    ax.semilogy(xs, [max(r["ber"], floor) for r in rows], "s-",
+                label="measured BER")
+    if params.modulated:
+        ax.semilogy(xs, [max(r["ler"], floor) for r in rows], "v--",
+                    label="LER (wrong location)")
+        ax.semilogy(xs, [max(r["ver"], floor) for r in rows], "^--",
+                    label="VER (wrong PSK value)")
+    ax2 = ax.twinx()
+    ax2.plot(xs, [r["se_psi_final"] for r in rows], "d--", color="gray",
+             label="SE psi_final")
+    ax2.set_ylabel("SE fixed-point NMSE psi")
+    if thr is not None:
+        ax.axvline(thr, ls=":", color="k", lw=1,
+                   label=f"SE threshold ({thr:.2f})")
+    ax.set_xlabel("snr = P / awgn_var (linear)")
+    ax.set_ylabel("error rate")
+    ax.set_title(f"{name}: waterfall vs state evolution")
+    ax.grid(True, which="both", alpha=0.3)
+    lines, labels = ax.get_legend_handles_labels()
+    l2, lb2 = ax2.get_legend_handles_labels()
+    ax.legend(lines + l2, labels + lb2, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(ART, f"{name}.png"), dpi=120)
+    print(json.dumps({"artifact": name, "wall_s": out["wall_s"],
+                      "se_threshold_snr": thr}))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--trials", type=int, default=128)
+    ap.add_argument("--t-max", type=int, default=25)
+    ap.add_argument("--only", choices=["modulated", "pa"], default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from ldpc_sparc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    from ldpc_sparc_tpu import SparcParams, DecodeParams
+
+    dec = DecodeParams(t_max=args.t_max)
+
+    if args.only in (None, "modulated"):
+        # demo cell 14 config; SE flips between snr 7 and 8 — dense points
+        # across the flip, plus the demo's own operating point snr=15
+        pm = SparcParams(P=15.0, R=2.6, L=2048, M=8, modulated=True, K=4,
+                         is_complex=True)
+        sweep("modulated_sweep", pm, dec,
+              [6.0, 6.5, 7.0, 7.25, 7.5, 7.75, 8.0, 9.0, 10.0, 15.0],
+              args.trials, args.t_max)
+
+    if args.only in (None, "pa"):
+        # demo cell 6 config; SE decays through snr 8-9
+        pp = SparcParams(P=15.0, R=1.4, L=1024, M=32, power_allocated=True,
+                         B=32, R_PA_ratio=0.9)
+        sweep("pa_sweep", pp, dec,
+              [6.0, 6.5, 7.0, 7.5, 8.0, 8.5, 9.0, 10.0, 12.0, 15.0],
+              args.trials, args.t_max)
+
+
+if __name__ == "__main__":
+    main()

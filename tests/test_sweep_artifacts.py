@@ -78,6 +78,120 @@ def test_semi_protected_artifact_has_real_prefix():
 FLAGSHIP = ART_DIR / "flagship_sweep.json"
 
 
+MODULATED = ART_DIR / "modulated_sweep.json"
+PA = ART_DIR / "pa_sweep.json"
+MINSUM = ART_DIR / "minsum_campaign.json"
+
+
+@pytest.mark.skipif(not MODULATED.exists(),
+                    reason="modulated artifact not present")
+def test_modulated_sweep_artifact():
+    """The K=4 complex modulated family (demo cell 14 config: L=2048, M=8,
+    R=2.6) at measurement depth: full waterfall with the reference's
+    ler/ver split, collapsing at the SE-predicted threshold."""
+    doc = json.loads(MODULATED.read_text())
+    cfg = doc["config"]
+    assert (cfg["L"], cfg["M"], cfg["R"], cfg.get("K")) == (2048, 8, 2.6, 4)
+    assert cfg.get("modulated") and cfg.get("is_complex")
+    rows = sorted(doc["rows"], key=lambda r: r["snr"])
+    assert len(rows) >= 8
+    assert all(r["frames"] >= 48 for r in rows)
+    # ler/ver columns present and consistent with ser per row:
+    # sec_err = loc_err OR val_err => max(ler, ver) <= ser <= ler + ver
+    for r in rows:
+        assert max(r["ler"], r["ver"]) <= r["ser"] + 1e-9, r
+        assert r["ser"] <= r["ler"] + r["ver"] + 1e-9, r
+    # waterfall collapses across the (converged-SE) threshold: well above
+    # it the code fails at O(10%+) SER, at/below it the decoder is in the
+    # low-error regime
+    thr = doc["se_threshold_snr"]
+    assert thr is not None
+    below = [r for r in rows if r["snr"] < thr]
+    decoded = [r for r in rows if r["snr"] >= thr]
+    assert below and decoded
+    assert max(r["ser"] for r in below) > 10 * max(decoded[0]["ser"], 1e-6)
+    assert decoded[0]["ser"] < 0.02
+    # the demo notebook's own operating point (awgn_var=1 => snr=15)
+    # decodes cleanly
+    demo = min(rows, key=lambda r: abs(r["snr"] - 15.0))
+    assert demo["ser"] < 1e-3
+
+
+@pytest.mark.skipif(not PA.exists(), reason="pa artifact not present")
+def test_pa_sweep_artifact():
+    """The power-allocated family (demo cell 6 config: L=1024, M=32, B=32,
+    R=1.4, R_PA_ratio=0.9) at measurement depth. PA waterfalls are
+    GRADUAL at finite L (the iterative allocation optimizes the
+    asymptotic threshold at the cost of finite-length slope): at L=1024
+    the measured low-error regime sits ~1.5x the SE threshold snr, unlike
+    the sharp flagship/modulated collapses. The gate pins (a) the failure
+    region agreeing with SE — everything below the converged-SE threshold
+    fails hard — and (b) a >100x measured collapse reaching sub-1e-3 SER
+    by the demo's own operating point."""
+    doc = json.loads(PA.read_text())
+    cfg = doc["config"]
+    assert (cfg["L"], cfg["M"], cfg["R"]) == (1024, 32, 1.4)
+    assert cfg.get("power_allocated") and cfg.get("B") == 32
+    assert abs(cfg.get("R_PA_ratio") - 0.9) < 1e-9
+    rows = sorted(doc["rows"], key=lambda r: r["snr"])
+    assert len(rows) >= 8
+    assert all(r["frames"] >= 48 for r in rows)
+    thr = doc["se_threshold_snr"]
+    assert thr is not None
+    below = [r for r in rows if r["snr"] < thr]
+    assert below
+    # SE-threshold necessity: below the converged-SE threshold the
+    # decoder fails at O(10%) SER
+    assert all(r["ser"] > 0.02 for r in below), below
+    sers = [r["ser"] for r in rows]
+    assert max(sers) > 100 * max(min(sers), 1e-6)
+    assert min(sers) < 1e-3
+    demo = min(rows, key=lambda r: abs(r["snr"] - 15.0))
+    assert demo["ser"] < 1e-3
+    # frame-level success demonstrated
+    assert any(r["fer"] < 1.0 for r in rows)
+
+
+@pytest.mark.skipif(not MINSUM.exists(), reason="minsum artifact not present")
+def test_minsum_waterfall_penalty():
+    """The repaired min-sum kernel (the reference ships it broken,
+    ldpc_jossy/README.md:89) delivers a full waterfall with the textbook
+    normalized-min-sum penalty vs sumprod2 — the measurement-depth proof
+    that the ABI repair produced a WORKING decoder, not just an
+    oracle-exact one."""
+    doc = json.loads(MINSUM.read_text())
+    assert not doc.get("quick", False)
+    assert doc["protocol"]["dectype"] == "minsum"
+    configs = doc["configs"]
+    assert len(configs) >= 2
+    for c in configs:
+        assert c["snr_at_1e-4_minsum"] is not None, \
+            f"minsum never reached BER 1e-4 for {c['standard']} {c['rate']}"
+        pen = c["penalty_db"]
+        assert pen is not None
+        # normalized min-sum (corr 0.7): small positive penalty; a broken
+        # kernel would show multi-dB loss or no waterfall at all
+        assert -0.1 <= pen <= 0.45, (c["standard"], c["rate"], c["z"], pen)
+
+
+@pytest.mark.skipif(not FLAGSHIP.exists(),
+                    reason="flagship artifact not present")
+def test_flagship_deep_points_pin_error_floor():
+    """Deep below-threshold points (>=1k trials) pin flagship-scale BER
+    with CI at the 1e-4 level and demonstrate FER < 1 (round-4 verdict:
+    the 32-trial rows could do neither)."""
+    doc = json.loads(FLAGSHIP.read_text())
+    deep = doc.get("deep_rows", [])
+    if not deep:
+        pytest.skip("flagship artifact predates deep rows")
+    assert len(deep) >= 2
+    assert all(r["trials"] >= 1000 for r in deep)
+    # at least one point with BER (incl. its CI) at or below 1e-4
+    assert any(r["ber"] + r["ber_ci95"] <= 1e-4 for r in deep), deep
+    # frame-level success demonstrated at flagship scale
+    assert any(r["fer"] < 1.0 for r in deep), deep
+
+
 @pytest.mark.skipif(not FLAGSHIP.exists(),
                     reason="flagship artifact not present")
 def test_flagship_waterfall_matches_se_threshold():
