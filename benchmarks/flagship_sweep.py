@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--trials", type=int, default=32)
     ap.add_argument("--t-max", type=int, default=30)
+    ap.add_argument("--deep-trials", type=int, default=2048,
+                    help="trials for the below-threshold deep points "
+                         "(0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,40 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
     wall = time.perf_counter() - t0
 
+    # deep below-threshold points: enough trials to pin BER with a
+    # binomial CI at the 1e-4 level and to demonstrate FER < 1 at
+    # flagship scale (round-4 verdict: 32-trial points cannot)
+    deep_rows = []
+    if args.deep_trials:
+        for j, snr in enumerate([4.5, 5.25, 6.0]):
+            var = float(params.P / snr)
+            td = time.perf_counter()
+            # chunked: one 2048-trial program would carry ~3 LM-sized
+            # arrays per trial (~13 GB HBM at L=1024/M=512); 256-trial
+            # chunks with independent seeds keep it resident
+            chunk = 256
+            c = None
+            for k in range(0, args.deep_trials, chunk):
+                ck = sparc_mc_counts(params, dec, var, seed=(71, j, k),
+                                     n_trials=min(chunk,
+                                                  args.deep_trials - k))
+                c = ck if c is None else \
+                    {key: c[key] + ck[key] for key in c}
+            # 95% Clopper-like normal-approx CI half-width on BER
+            ber = c["bit_errs"] / c["bits"]
+            ci = 1.96 * np.sqrt(max(ber, 1.0 / c["bits"]) *
+                                (1 - ber) / c["bits"])
+            deep_rows.append({
+                "snr": float(snr), "awgn_var": var,
+                "trials": args.deep_trials,
+                "ber": ber, "ber_ci95": float(ci),
+                "ser": c["sec_errs"] / c["sections"],
+                "fer": c["frame_errs"] / c["frames"],
+                "bit_errs": int(c["bit_errs"]), "bits": int(c["bits"]),
+                "wall_s": round(time.perf_counter() - td, 1)})
+            print(json.dumps(deep_rows[-1]), flush=True)
+        wall = time.perf_counter() - t0
+
     # SE-predicted threshold: first snr whose fixed point decodes
     thr = next((r["snr"] for r in rows if r["se_psi_final"] < 0.01), None)
     out = {"platform": jax.devices()[0].platform,
@@ -74,7 +111,8 @@ def main():
                       "M": params.M, "t_max": args.t_max,
                       "trials_per_point": args.trials},
            "wall_s": round(wall, 1),
-           "se_threshold_snr": thr, "rows": rows}
+           "se_threshold_snr": thr, "rows": rows,
+           "deep_rows": deep_rows}
     with open(os.path.join(ART, "flagship_sweep.json"), "w") as f:
         json.dump(out, f, indent=1)
 

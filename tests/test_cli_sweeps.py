@@ -35,6 +35,23 @@ def test_sparc_sweep_cli_resumes(tmp_path):
         == store
 
 
+def test_sparc_sweep_cli_modulated(tmp_path):
+    """--modulated/--K expose the K-PSK family (demo cell 14) on the
+    driver surface; rows must carry the reference's ler/ver split."""
+    argv = ["sparc-sweep", "--platform", "cpu", "--L", "64", "--M", "8",
+            "--R", "2.6", "--modulated", "--K", "4", "--trials", "4",
+            "--t-max", "6", "--num-snrs", "2", "--snr-start", "8",
+            "--snr-stop", "15", "--out", str(tmp_path)]
+    rows = cli.main(argv)
+    assert len(rows) == 2
+    row = json.loads((tmp_path / "sparc_sweep.jsonl")
+                     .read_text().strip().splitlines()[0])
+    for k in ("ler", "ver", "ser", "ber", "loc_errs", "val_errs"):
+        assert k in row, k
+    assert max(row["ler"], row["ver"]) <= row["ser"] + 1e-9
+    assert row["ser"] <= row["ler"] + row["ver"] + 1e-9
+
+
 def test_concat_sweep_cli_semi_protected_prefix(tmp_path):
     argv = ["concat-sweep", "--platform", "cpu", "--semi-protected",
             "--percent-protected", "0.9", "--standard", "802.16",
