@@ -173,16 +173,17 @@ class ConcatCodec:
         p = jnp.clip(bit_probs, eps, 1 - eps)
         llr = jnp.log(p) - jnp.log1p(-p)
         nblocks = llr.size // self.code.N
-        # This call sits inside the per-trial decode, so under the
-        # Monte-Carlo vmap the Pallas kernel pads EACH trial's few blocks
-        # to a full 128-lane tile (~3% utilization at the reference's
-        # mults=4). Measured on the z=150 integrated point: 13.6 s/point
-        # with the XLA scan vs 26.1 s with Pallas (TPU v5e). Small
-        # per-call batches therefore route to XLA via
+        # This call sits inside the PER-TRIAL decode, so under a
+        # Monte-Carlo vmap each trial's few blocks fill only a sliver of
+        # a 128-lane tile (mults=4 at the reference's z=150 config).
+        # Small per-call batches therefore route to XLA via
         # small_batch_bp_backend (an explicit LDPC_SPARC_BP_BACKEND still
         # wins, validated there; NOTE the backend is resolved at TRACE
-        # time — see default_bp_backend's caveat). The waterfall campaign
-        # batches full 512-lane tiles and keeps the Pallas default.
+        # time — see default_bp_backend's caveat). Monte-Carlo batches
+        # should prefer decode_batch/ldpc_bp_batch, which PACK all
+        # trials' blocks into one full-tile invocation instead (measured
+        # 10.5x on the z=150 point at runs=20, docs/ROOFLINE.md sec. 7);
+        # the waterfall campaign batches full 512-lane tiles natively.
         backend = "auto" if nblocks >= 64 else small_batch_bp_backend()
         res = bp_decode(llr.reshape(nblocks, self.code.N).astype(jnp.float32),
                         self.code.graph, max_iters=num_its, method="sumprod",
@@ -229,6 +230,183 @@ class ConcatCodec:
                                                        posteriors=True),
         }[decoder]
         return fn(y, design, decode_params, bp_inner_iters, bp_final_iters)
+
+    # ------------------------------------------------------------------
+    # batched decode with cross-trial BP lane packing
+    # ------------------------------------------------------------------
+    def ldpc_bp_batch(self, bit_probs: jnp.ndarray, num_its: int,
+                      hard: bool):
+        """`ldpc_bp` over a leading trial axis with every trial's blocks
+        PACKED into one BP invocation: (B, nbits) -> one (B*mults, N)
+        kernel call instead of B vmapped mults-lane calls.
+
+        At the reference's z=150 config (mults=4) a per-trial call fills 4
+        of 128 vector lanes; packed, runs>=32 trials fill whole tiles and
+        the batch routes to the Pallas kernel (>=64 lanes). Measured: the
+        sequential z=150 point drops 1.24 s -> 0.14 s at runs=20
+        (docs/ROOFLINE.md, concat section)."""
+        B = bit_probs.shape[0]
+        eps = 1e-7
+        p = jnp.clip(bit_probs, eps, 1 - eps)
+        llr = jnp.log(p) - jnp.log1p(-p)
+        nblocks = llr.size // self.code.N
+        backend = "auto" if nblocks >= 64 else small_batch_bp_backend()
+        res = bp_decode(llr.reshape(nblocks, self.code.N).astype(jnp.float32),
+                        self.code.graph, max_iters=num_its, method="sumprod",
+                        backend=backend)
+        app = res.app.reshape(B, -1, self.code.N)
+        if hard:
+            return (app[:, :, :self.code.K] < 0).astype(jnp.int32) \
+                .reshape(B, -1)
+        return jax.nn.sigmoid(app).reshape(B, -1)
+
+    def decode_batch(self, ys: jnp.ndarray, designs: SparcDesign,
+                     decode_params: DecodeParams, decoder: str = "sequential",
+                     bp_inner_iters: int = 6, bp_final_iters: int = 200):
+        """Batched decode of B trials with cross-trial BP lane packing.
+
+        Per-trial results are BIT-IDENTICAL to `vmap(decode)` (gated by
+        tests/test_concat.py::test_decode_batch_matches_vmap): the AMP
+        side runs the same per-trial code under vmap; only the BP calls
+        are restructured to run once per (AMP-)iteration over all
+        B*mults blocks.
+
+        ys: (B, n). designs: stacked SparcDesign (leading batch axis on
+        idx/signs, one design per trial). Returns (B, user_bits_len)."""
+        assert decoder in DECODERS
+        dp, bi, bf = decode_params, bp_inner_iters, bp_final_iters
+        if decoder in ("amp_only", "sequential_rerun") \
+                or not self.ldpc_protected:
+            # no BP (amp_only) / double-AMP rerun (not perf-relevant):
+            # plain per-trial vmap. The stacked design's batch axis lives
+            # on idx/signs only (scale is config-static), so vmap those
+            # leaves and rebuild per trial (the montecarlo convention).
+            return jax.vmap(lambda y, i, g: self.decode(
+                y, designs.with_leaves(i, g), dp, decoder, bi, bf))(
+                ys, designs.idx, designs.signs)
+        if self.lengths.L_unprotected:
+            assert decoder in ("sequential", "naive", "naive_posteriors",
+                               "no_onsager"), (
+                f"decoder {decoder!r} requires a fully protected message")
+        if decoder == "sequential":
+            return self._decode_sequential_batch(ys, designs, dp, bf)
+        if decoder in ("naive", "naive_posteriors", "no_onsager"):
+            return self._decode_interleaved_batch(
+                ys, designs, dp, bi, bf,
+                onsager="none" if decoder == "no_onsager" else "standard",
+                posteriors=decoder == "naive_posteriors")
+        return self._decode_integrated_batch(
+            ys, designs, dp, bi, bf,
+            posteriors=decoder == "integrated_posteriors")
+
+    def _decode_sequential_batch(self, ys, designs, dp, bf):
+        M = self.sparc.M
+        beta, s = jax.vmap(lambda y, i, g: self._run_amp(
+            y, designs.with_leaves(i, g), dp.t_max))(
+            ys, designs.idx, designs.signs)
+        u = self.lengths.L_unprotected * M if self.ldpc_protected else 0
+        un_beta, prot_beta = beta[:, :u], beta[:, u:]
+        bit_probs = jax.vmap(
+            lambda b: section_probs_to_bit_probs(b / self.c_amp, M))(prot_beta)
+        prot_bits = self.ldpc_bp_batch(bit_probs, bf, hard=True)
+        if u:
+            un_bits = jax.vmap(
+                lambda ss: bitops.msg_vector_to_bits(self._map(ss)[:u], M))(
+                s).astype(jnp.int32)
+            return jnp.concatenate([un_bits, prot_bits], axis=1)
+        return prot_bits
+
+    def _decode_interleaved_batch(self, ys, designs, dp, bi, bf, *, onsager,
+                                  posteriors):
+        M = self.sparc.M
+        B = ys.shape[0]
+        u_sec = self.lengths.L_unprotected * M if self.ldpc_protected else 0
+        amp_step = jax.vmap(lambda i, g, y, beta, z, tau: self._amp_step(
+            designs.with_leaves(i, g), y, beta, z, tau, onsager=onsager))
+        mmse = jax.vmap(self._mmse)
+        to_bits = jax.vmap(lambda b: section_probs_to_bit_probs(b, M))
+        to_secs = jax.vmap(lambda p: bit_probs_to_section_probs(p, M))
+
+        def body(carry, _):
+            beta, z, tau_sqr = carry
+            z, s, tau_sqr = amp_step(designs.idx, designs.signs, ys,
+                                     beta, z, tau_sqr)
+            beta = mmse(s, tau_sqr)
+            un_beta, prot_beta = beta[:, :u_sec], beta[:, u_sec:]
+            bit_probs = to_bits(prot_beta / self.c_amp)
+            post = self.ldpc_bp_batch(bit_probs, bi, hard=False)
+            gamma = to_secs(post)
+            if posteriors:
+                alpha = prot_beta / self.c_amp
+                prot_new = self.c_amp * jax.vmap(
+                    lambda a, g: combine_posteriors(a, g, M))(alpha, gamma)
+            else:
+                prot_new = self.c_amp * gamma
+            beta = jnp.concatenate([un_beta, prot_new], axis=1)
+            return (beta, z, tau_sqr), None
+
+        init = (jnp.zeros((B, self.sparc.L * M), jnp.float32),
+                jnp.zeros_like(ys), jnp.ones((B,), jnp.float32))
+        (beta, z, tau_sqr), _ = jax.lax.scan(body, init, None,
+                                             length=dp.t_max - 1)
+        z, s, tau_sqr = amp_step(designs.idx, designs.signs, ys, beta, z,
+                                 tau_sqr)
+        beta = mmse(s, tau_sqr)
+        bit_probs = to_bits(beta[:, u_sec:] / self.c_amp)
+        prot_bits = self.ldpc_bp_batch(bit_probs, bf, hard=True)
+        if u_sec:
+            un_map = jax.vmap(self._map)(s)[:, :u_sec]
+            un_bits = jax.vmap(
+                lambda v: bitops.msg_vector_to_bits(v, M))(un_map) \
+                .astype(jnp.int32)
+            return jnp.concatenate([un_bits, prot_bits], axis=1)
+        return prot_bits
+
+    def _decode_integrated_batch(self, ys, designs, dp, bi, bf, *,
+                                 posteriors):
+        M = self.sparc.M
+        L = self.sparc.L
+        B = ys.shape[0]
+        amp_step = jax.vmap(lambda i, g, y, beta, z, tau, ds: self._amp_step(
+            designs.with_leaves(i, g), y, beta, z, tau, onsager="deta",
+            deta_sum=ds))
+        mmse = jax.vmap(self._mmse)
+        to_bits = jax.vmap(lambda b: section_probs_to_bit_probs(b, M))
+        to_secs = jax.vmap(lambda p: bit_probs_to_section_probs(p, M))
+
+        def body(carry, _):
+            beta, z, tau_sqr, deta_sum = carry
+            z, s, tau_sqr = amp_step(designs.idx, designs.signs, ys,
+                                     beta, z, tau_sqr, deta_sum)
+            weighted_alpha = mmse(s, tau_sqr)
+            alpha = weighted_alpha / self.c_amp
+            vk0 = to_bits(alpha)
+            vk = self.ldpc_bp_batch(vk0, bi, hard=False)
+            gamma = to_secs(vk)
+            if posteriors:
+                beta_probs = jax.vmap(
+                    lambda a, g: combine_posteriors(a, g, M))(alpha, gamma)
+                beta = self.c_amp * beta_probs
+                deta = jax.vmap(lambda a, g, v, v0, t: self._deta_posteriors(
+                    a, g, v, v0, t, M))(alpha, gamma, vk, vk0, tau_sqr)
+            else:
+                beta = self.c_amp * gamma
+                deta = jax.vmap(
+                    lambda a, v, v0, g, t: self.c_amp *
+                    integrated_onsager_derivative(a, v, v0, g, t, M,
+                                                  self.c_amp))(
+                    alpha, vk, vk0, gamma, tau_sqr)
+            return (beta, z, tau_sqr, jnp.sum(deta, axis=1)), None
+
+        init = (jnp.zeros((B, L * M), jnp.float32), jnp.zeros_like(ys),
+                jnp.ones((B,), jnp.float32), jnp.zeros((B,), jnp.float32))
+        (beta, z, tau_sqr, deta_sum), _ = jax.lax.scan(body, init, None,
+                                                       length=dp.t_max - 1)
+        z, s, tau_sqr = amp_step(designs.idx, designs.signs, ys, beta, z,
+                                 tau_sqr, deta_sum)
+        weighted_alpha = mmse(s, tau_sqr)
+        vk0 = to_bits(weighted_alpha / self.c_amp)
+        return self.ldpc_bp_batch(vk0, bf, hard=True)
 
     def _run_amp(self, y, design, t_max):
         """Full L3 AMP (sparc_amp, sparc_new.py:885-912): fixed t_max

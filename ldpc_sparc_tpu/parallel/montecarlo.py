@@ -171,6 +171,14 @@ def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
 # num_of_runs loop, batched + sharded)
 # --------------------------------------------------------------------------
 
+# compiled concat-MC programs, keyed by the full static config; true-LRU
+# like models/concat._SIM_CACHE. Re-jitting per call cost ~1 s/point in
+# re-trace alone (docs/ROOFLINE.md concat section), and awgn_var rides as
+# a TRACED scalar so one program serves every SNR point of a sweep.
+_CONCAT_MC_CACHE_MAX = 16
+_CONCAT_MC_CACHE = {}
+
+
 def concat_mc_trial_errors(sparc_params: SparcParams, ldpc_params: LdpcParams,
                            lengths, ldpc_protected: bool,
                            decode_params: DecodeParams, awgn_var: float,
@@ -180,10 +188,13 @@ def concat_mc_trial_errors(sparc_params: SparcParams, ldpc_params: LdpcParams,
     """Per-trial user-bit error counts for the concatenated decoder family.
 
     Replaces the reference's `for run in range(num_of_runs)` Python loop
-    (performance_plots_general.py:101-118) with a vmapped batch of full
+    (performance_plots_general.py:101-118) with a batch of full
     encode->AWGN->AMP+BP->count trials, shard_map'ed over the mesh 'dp'
-    axis. The whole batch is ONE device program: AMP soft outputs feed the
-    batched BP without host round-trips.
+    axis. The whole batch is ONE device program; the per-AMP-iteration BP
+    runs over the trials' blocks PACKED into one kernel invocation
+    (ConcatCodec.decode_batch — bit-identical per trial to the vmapped
+    per-trial decode, measured ~5-9x faster at the z=150 config where
+    each trial alone fills only 4 of 128 BP lanes).
 
     Randomness follows the module's single trial->randomness contract
     (see the module docstring / sparc_mc_counts): trial t gets key
@@ -206,36 +217,55 @@ def concat_mc_trial_errors(sparc_params: SparcParams, ldpc_params: LdpcParams,
         n_designs = min(8, n_trials)
     n_pad = ((n_trials + n_dp - 1) // n_dp) * n_dp
 
-    codec = ConcatCodec(sparc_params, ldpc_params, lengths, ldpc_protected)
+    cfg = (sparc_params, ldpc_params, lengths, ldpc_protected, decode_params,
+           decoder, n_designs, n_pad, mesh)
+    if cfg not in _CONCAT_MC_CACHE:
+        codec = ConcatCodec(sparc_params, ldpc_params, lengths,
+                            ldpc_protected)
+
+        def shard_fn(keys_local, didx_local, idx, signs, awgn_var):
+            # designs_proto is a zero-batch template carrying the static
+            # metadata; per-shard trials gather their design leaves
+            def tx(key, di):
+                user_bits, _, beta0 = codec.encode_message(key)
+                d = _design_proto[0].with_leaves(idx[di], signs[di])
+                x = d.ab(beta0 / codec.c_amp)
+                y = awgn_channel(x, awgn_var,
+                                 rngmod.derive(key, rngmod.CHANNEL))
+                return user_bits, y
+
+            user_bits, ys = jax.vmap(tx)(keys_local, didx_local)
+            batch_designs = _design_proto[0].with_leaves(
+                idx[didx_local], signs[didx_local])
+            bits_out = codec.decode_batch(ys, batch_designs, decode_params,
+                                          decoder)
+            errs = jnp.sum(user_bits != bits_out, axis=1)
+            # replicate the full per-trial vector to every dp row so any
+            # one addressable shard carries the global result
+            return jax.lax.all_gather(errs, "dp", tiled=True)[None]
+
+        _design_proto = [None]  # filled below before first trace
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, check_vma=False,
+            in_specs=(P("dp"), P("dp"), P(), P(), P()),
+            out_specs=P("dp")))
+        if len(_CONCAT_MC_CACHE) >= _CONCAT_MC_CACHE_MAX:
+            _CONCAT_MC_CACHE.pop(next(iter(_CONCAT_MC_CACHE)))
+        _CONCAT_MC_CACHE[cfg] = (codec, fn, _design_proto)
+    codec, fn, _design_proto = _CONCAT_MC_CACHE.pop(cfg)
+    _CONCAT_MC_CACHE[cfg] = (codec, fn, _design_proto)  # refresh recency
+
     designs = [codec.build_design((seed, d)) for d in range(n_designs)]
     designs = designs[0].with_leaves(
         jnp.stack([d.idx for d in designs]),
         jnp.stack([d.signs for d in designs]))
+    _design_proto[0] = designs
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
         jnp.arange(n_pad))
     didx = jnp.arange(n_pad, dtype=jnp.int32) % n_designs
 
-    def one_trial(key, design):
-        user_bits, total_bits, beta0 = codec.encode_message(key)
-        x = design.ab(beta0 / codec.c_amp)
-        y = awgn_channel(x, awgn_var, rngmod.derive(key, rngmod.CHANNEL))
-        bits_out = codec.decode(y, design, decode_params, decoder)
-        return jnp.sum(user_bits != bits_out)
-
-    def shard_fn(keys_local, didx_local, idx, signs):
-        def per_trial(key, di):
-            return one_trial(key, designs.with_leaves(idx[di], signs[di]))
-        errs = jax.vmap(per_trial)(keys_local, didx_local)
-        # replicate the full per-trial vector to every dp row so any one
-        # addressable shard carries the global result (multi-host safe)
-        return jax.lax.all_gather(errs, "dp", tiled=True)[None]
-
-    fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, check_vma=False,
-        in_specs=(P("dp"), P("dp"), P(), P()),
-        out_specs=P("dp")))
-    res = fn(keys, didx, designs.idx, designs.signs)
+    res = fn(keys, didx, designs.idx, designs.signs, jnp.float32(awgn_var))
     return np.asarray(res.addressable_shards[0].data)[0][:n_trials]
 
 

@@ -241,3 +241,78 @@ def test_decode_instrumented():
     assert pre.shape == (8,)
     assert post[-1] <= pre[-1] + 1e-9
     assert post[-1] <= post[0] + 1e-9  # improves over iterations
+
+
+def test_decode_batch_matches_vmap():
+    """decode_batch (cross-trial BP lane packing) must be BIT-IDENTICAL to
+    vmap(decode) for every decoder family — the packing restructures WHERE
+    the BP lanes ride, not what any trial computes."""
+    import jax
+    from ldpc_sparc_tpu.models.sparc import awgn_channel
+    from ldpc_sparc_tpu.utils import rng as rngmod
+
+    sp, ldpc, lengths = small_setup()
+    codec = ConcatCodec(sp, ldpc, lengths, True)
+    dp = DecodeParams(t_max=6)
+    B = 3
+    designs = [codec.build_design((9, d)) for d in range(B)]
+    designs = designs[0].with_leaves(
+        jnp.stack([d.idx for d in designs]),
+        jnp.stack([d.signs for d in designs]))
+    root = rngmod.root_key(9)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(jnp.arange(B))
+
+    def tx(key, idx, signs):
+        d = designs.with_leaves(idx, signs)
+        _, _, beta0 = codec.encode_message(key)
+        x = d.ab(beta0 / codec.c_amp)
+        return awgn_channel(x, 19.44 / 4.0, rngmod.derive(key, rngmod.CHANNEL))
+
+    ys = jax.vmap(tx)(keys, designs.idx, designs.signs)
+    for decoder in DECODERS:
+        ref = jax.vmap(lambda y, i, s: codec.decode(
+            y, designs.with_leaves(i, s), dp, decoder, 3, 20))(
+            ys, designs.idx, designs.signs)
+        got = codec.decode_batch(ys, designs, dp, decoder, 3, 20)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=decoder)
+
+
+def test_decode_batch_matches_vmap_semi_protected():
+    """Packed decode with a REAL unprotected prefix (the semi-protected
+    path splits BP to the protected suffix only)."""
+    import jax
+    from ldpc_sparc_tpu.config import param_calc_semi_protected
+    from ldpc_sparc_tpu.models.sparc import awgn_channel
+    from ldpc_sparc_tpu.utils import rng as rngmod
+
+    ldpc = LdpcParams(standard="802.16", rate="1/2", z=12)
+    code = get_code("802.16", "1/2", 12)
+    L_sparc, R_sparc_ldpc, L_sparc_ldpc, lengths, rate = \
+        param_calc_semi_protected(0.8, 2, 0.8, 4, ldpc, 0.5, code.K)
+    sp = SparcParams(P=19.44, R=R_sparc_ldpc, L=L_sparc_ldpc, M=4)
+    codec = ConcatCodec(sp, ldpc, lengths, True)
+    assert lengths.L_unprotected > 0
+    dp = DecodeParams(t_max=6)
+    B = 2
+    designs = [codec.build_design((5, d)) for d in range(B)]
+    designs = designs[0].with_leaves(
+        jnp.stack([d.idx for d in designs]),
+        jnp.stack([d.signs for d in designs]))
+    root = rngmod.root_key(5)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(jnp.arange(B))
+
+    def tx(key, idx, signs):
+        d = designs.with_leaves(idx, signs)
+        _, _, beta0 = codec.encode_message(key)
+        x = d.ab(beta0 / codec.c_amp)
+        return awgn_channel(x, 19.44 / 4.0, rngmod.derive(key, rngmod.CHANNEL))
+
+    ys = jax.vmap(tx)(keys, designs.idx, designs.signs)
+    for decoder in ("sequential", "naive", "no_onsager"):
+        ref = jax.vmap(lambda y, i, s: codec.decode(
+            y, designs.with_leaves(i, s), dp, decoder, 3, 20))(
+            ys, designs.idx, designs.signs)
+        got = codec.decode_batch(ys, designs, dp, decoder, 3, 20)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=decoder)
