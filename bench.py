@@ -132,6 +132,28 @@ def main():
     c_dt = time.perf_counter() - t0
     c_blocks = sum(r[5] for r in crecs)
 
+    # quaternary metric: the reference's z=150 working concat config
+    # (802.16 r=1/2, mults=4, L=14400, integrated decoder, t_max=25),
+    # one full 20-trial sweep point through the packed batch decoder
+    # (models/concat.py decode_batch; docs/ROOFLINE.md section 7).
+    from ldpc_sparc_tpu.config import param_calc
+    from ldpc_sparc_tpu.models.ldpc import get_code as _get_code
+    from ldpc_sparc_tpu.parallel.montecarlo import concat_mc_trial_errors
+    cl = LdpcParams(standard="802.16", rate="1/2", z=150, ptype="A")
+    ccode = _get_code("802.16", "1/2", 150)
+    _, _, L_ldpc, lengths = param_calc(4, 1, cl, cl.rate_float, 1.0, ccode.K)
+    csp = SparcParams(P=19.44, R=1.0, L=L_ldpc, M=2)
+    cdec = DecodeParams(t_max=25)
+    cvar = csp.P / 3.8
+    concat_mc_trial_errors(csp, cl, lengths, True, cdec, cvar, (3, 0), 20,
+                           "integrated")  # warm + compile
+    cc_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        concat_mc_trial_errors(csp, cl, lengths, True, cdec, cvar, (3, 0),
+                               20, "integrated")
+        cc_dt = min(cc_dt, time.perf_counter() - t0)
+
     result = {
         "metric": "sparc_amp_iterations_per_s",
         "value": round(iters_per_s, 2),
@@ -148,6 +170,8 @@ def main():
             "ldpc_bp_bit_errs": bp_errs,
             "campaign_blocks_per_s": round(c_blocks / c_dt, 1),
             "campaign_vs_baseline": round(c_blocks / c_dt / 7.2, 1),
+            "concat_z150_integrated_point_s": round(cc_dt, 3),
+            "concat_z150_trials_per_s": round(20 / cc_dt, 1),
         },
     }
     print(json.dumps(result))
