@@ -49,6 +49,11 @@ from ..utils import rng as rngmod
 # the stacked-design helper is canonical in ops/transforms.stack_designs
 # (one implementation, one (seed, d) convention), imported above
 
+# compiled SPARC-MC programs, keyed by the full static config (see the
+# concat cache below for the rationale)
+_SPARC_MC_CACHE_MAX = 16
+_SPARC_MC_CACHE = {}
+
 
 def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
                     awgn_var: float, seed, n_trials: int,
@@ -77,63 +82,83 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         n_designs = min(8, n_trials)
     n_pad = ((n_trials + n_dp - 1) // n_dp) * n_dp
 
+    # one compiled program per static config (true-LRU, like the concat
+    # path): awgn_var, the base matrix W, and the design scale ride as
+    # TRACED arguments, so a whole SNR sweep reuses one binary. W and
+    # scale cannot be closure constants: for PA configs both depend on
+    # awgn_var through the host-side allocation fixed point.
+    cfg = (params, decode, n_designs, n_pad, mesh)
+    if cfg not in _SPARC_MC_CACHE:
+        M, K, L = params.M, params.K, params.L
+
+        def one_trial(key, design, W, awgn_var):
+            kb = rngmod.derive(key, rngmod.BITS)
+            kc = rngmod.derive(key, rngmod.CHANNEL)
+            bits = bitops.random_bits(kb, params.bit_len)
+            beta0 = bitops.bits_to_msg_vector(bits, M, K)
+            y = awgn_channel(design.ab(beta0), awgn_var, kc)
+            res = amp_decode(y, design, params, decode, awgn_var, W=W)
+            bits_out = bitops.msg_vector_to_bits(res.beta, M, K)
+            bit_errs = jnp.sum(bits != bits_out)
+            if params.modulated:
+                # the reference's modulated error split (calc_ler_ver,
+                # sparc_public/sparc_sim.py:100-175): wrong location vs
+                # wrong PSK value at the right location
+                from ..utils.metrics import location_value_errors
+                _, (loc_e, val_e, sec_e) = location_value_errors(
+                    beta0, res.beta, L)
+                sec_errs = jnp.sum(sec_e)
+                loc_errs, val_errs = jnp.sum(loc_e), jnp.sum(val_e)
+            else:
+                sec_errs = jnp.sum(jnp.any(
+                    (res.beta != beta0).reshape(L, M), axis=1))
+                loc_errs = val_errs = jnp.zeros((), sec_errs.dtype)
+            return bit_errs, sec_errs, loc_errs, val_errs, res.t_final
+
+        def shard_fn(keys_local, didx_local, valid_local, idx, signs,
+                     scale, W, awgn_var):
+            def per_trial(key, di):
+                d = _proto[0].with_leaves(idx[di], signs[di], scale)
+                return one_trial(key, d, W, awgn_var)
+            be, se, le, ve, it = jax.vmap(per_trial)(keys_local, didx_local)
+            v = valid_local  # padded trials contribute nothing
+            out = jnp.stack([jnp.sum(jnp.where(v, be, 0)),
+                             jnp.sum(jnp.where(v, se, 0)),
+                             jnp.sum(jnp.where(v, be > 0, False)),
+                             jnp.sum(jnp.where(v, it, 0)),
+                             jnp.sum(jnp.where(v, le, 0)),
+                             jnp.sum(jnp.where(v, ve, 0))])
+            return jax.lax.psum(out, "dp")[None]
+
+        _proto = [None]  # template design (static metadata), set pre-trace
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, check_vma=False,
+            in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P(), P(), P()),
+            out_specs=P("dp")))
+        if len(_SPARC_MC_CACHE) >= _SPARC_MC_CACHE_MAX:
+            _SPARC_MC_CACHE.pop(next(iter(_SPARC_MC_CACHE)))
+        _SPARC_MC_CACHE[cfg] = (fn, _proto)
+    fn, _proto = _SPARC_MC_CACHE.pop(cfg)
+    _SPARC_MC_CACHE[cfg] = (fn, _proto)  # refresh recency
+
     designs = _stack_designs(params, awgn_var, seed, n_designs)
+    _proto[0] = designs
+    W = jnp.asarray(create_base_matrix(params, float(awgn_var)), jnp.float32)
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
         jnp.arange(n_pad))
     didx = jnp.arange(n_pad, dtype=jnp.int32) % n_designs
     valid = jnp.arange(n_pad) < n_trials
 
-    M, K, L = params.M, params.K, params.L
-
-    def one_trial(key, design):
-        kb = rngmod.derive(key, rngmod.BITS)
-        kc = rngmod.derive(key, rngmod.CHANNEL)
-        bits = bitops.random_bits(kb, params.bit_len)
-        beta0 = bitops.bits_to_msg_vector(bits, M, K)
-        y = awgn_channel(design.ab(beta0), awgn_var, kc)
-        res = amp_decode(y, design, params, decode, awgn_var)
-        bits_out = bitops.msg_vector_to_bits(res.beta, M, K)
-        bit_errs = jnp.sum(bits != bits_out)
-        if params.modulated:
-            # the reference's modulated error split (calc_ler_ver,
-            # sparc_public/sparc_sim.py:100-175): wrong location vs wrong
-            # PSK value at the right location
-            from ..utils.metrics import location_value_errors
-            _, (loc_e, val_e, sec_e) = location_value_errors(beta0, res.beta, L)
-            sec_errs = jnp.sum(sec_e)
-            loc_errs, val_errs = jnp.sum(loc_e), jnp.sum(val_e)
-        else:
-            sec_errs = jnp.sum(jnp.any(
-                (res.beta != beta0).reshape(L, M), axis=1))
-            loc_errs = val_errs = jnp.zeros((), sec_errs.dtype)
-        return bit_errs, sec_errs, loc_errs, val_errs, res.t_final
-
-    def shard_fn(keys_local, didx_local, valid_local, idx, signs):
-        def per_trial(key, di):
-            d = designs.with_leaves(idx[di], signs[di])
-            return one_trial(key, d)
-        be, se, le, ve, it = jax.vmap(per_trial)(keys_local, didx_local)
-        v = valid_local  # padded trials contribute nothing
-        out = jnp.stack([jnp.sum(jnp.where(v, be, 0)),
-                         jnp.sum(jnp.where(v, se, 0)),
-                         jnp.sum(jnp.where(v, be > 0, False)),
-                         jnp.sum(jnp.where(v, it, 0)),
-                         jnp.sum(jnp.where(v, le, 0)),
-                         jnp.sum(jnp.where(v, ve, 0))])
-        return jax.lax.psum(out, "dp")[None]
-
-    fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, check_vma=False,
-        in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
-        out_specs=P("dp")))
-    res = fn(keys, didx, valid, designs.idx, designs.signs)
+    res = fn(keys, didx, valid, designs.idx, designs.signs,
+             jnp.asarray(designs.scale, jnp.float32), W,
+             jnp.float32(awgn_var))
     # rows are psum-replicated; in multi-process runs only local shards are
     # addressable, and any one row carries the global counts
     out = np.asarray(res.addressable_shards[0].data)[0]
     counts = {
         "bit_errs": int(out[0]), "bits": n_trials * params.bit_len,
-        "sec_errs": int(out[1]), "sections": n_trials * L,
+        "sec_errs": int(out[1]), "sections": n_trials * params.L,
         "frame_errs": int(out[2]), "frames": n_trials,
         "iters": int(out[3]),
     }

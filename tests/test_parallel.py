@@ -266,3 +266,29 @@ def test_multiprocess_distributed_smoke():
                          capture_output=True, text=True, timeout=400)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multi-process run OK" in out.stdout
+
+
+def test_sparc_mc_program_cache_across_snr_and_families():
+    """One compiled program serves every SNR point of a config (awgn_var,
+    W, and the design scale are traced arguments): results at a given
+    point must not depend on which points ran before, including for PA
+    configs whose W and scale change with awgn_var through the host-side
+    allocation fixed point."""
+    from ldpc_sparc_tpu.parallel.montecarlo import _SPARC_MC_CACHE
+    dec = DecodeParams(t_max=10)
+    pa = SparcParams(P=15.0, R=1.4, L=64, M=16, power_allocated=True,
+                     B=16, R_PA_ratio=0.9)
+    sc = SparcParams(P=15.0, R=1.4, L=64, M=16,
+                     spatially_coupled=True, omega=2, Lambda=8)
+    for p in (pa, sc):
+        # fresh-config reference values (first call compiles)
+        a = sparc_mc_counts(p, dec, 1.0, seed=5, n_trials=8)
+        size_before = len(_SPARC_MC_CACHE)
+        # different SNR through the SAME cached program
+        b = sparc_mc_counts(p, dec, 4.0, seed=5, n_trials=8)
+        assert len(_SPARC_MC_CACHE) == size_before, "new program compiled"
+        # returning to the first SNR reproduces the first result exactly
+        a2 = sparc_mc_counts(p, dec, 1.0, seed=5, n_trials=8)
+        assert a == a2, (a, a2)
+        # the two SNRs measure genuinely different operating points
+        assert b["bit_errs"] > a["bit_errs"], (a, b)
