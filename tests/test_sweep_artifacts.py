@@ -78,6 +78,44 @@ def test_semi_protected_artifact_has_real_prefix():
 FLAGSHIP = ART_DIR / "flagship_sweep.json"
 
 
+@pytest.mark.skipif(not SEMI.exists(), reason="semi artifact not present")
+def test_semi_protected_prefix_floor_scaling():
+    """The unprotected-prefix residual floor SCALES with the unprotected
+    fraction: at measurement depth (runs=25 generations), the sequential
+    decoder's high-SNR BER floor increases monotonically as
+    percent_protected drops 0.9 -> 0.8 -> 0.7 (more user bits never see
+    BP and keep plain-AMP reliability), while the M=64 interleaved
+    decoder stays flat — the reference's 'BP only helps for small error
+    rates at M>2' finding (performance_plots_notes tests 1-2/31) held
+    across the whole prefix family."""
+    rows = _rows(SEMI)
+    metas = [r for r in rows if "config" in r
+             and r["config"].get("runs") == 25
+             and r["config"].get("semi_protected")]
+    by_pp = {}
+    for m in metas:
+        cfg_key = m["key"].split(":")[1]
+        pp = m["config"]["percent_protected"]
+        cur = [r for r in rows if f":{cfg_key}:" in r.get("key", "")
+               and "decoder" in r]
+        by_pp[pp] = cur
+    if len(by_pp) < 3:
+        pytest.skip("fewer than 3 measurement-depth prefix configs")
+
+    def floor(cells, decoder):
+        hi = [r for r in cells if r["decoder"] == decoder and r["snr"] >= 4.5]
+        assert hi
+        return min(r["ber"] for r in hi)
+
+    pps = sorted(by_pp, reverse=True)  # 0.9, 0.8, 0.7
+    seq = [floor(by_pp[pp], "sequential") for pp in pps]
+    assert all(a < b for a, b in zip(seq, seq[1:])), (pps, seq)
+    # every generation had a real prefix and real depth
+    for pp in pps:
+        assert all(r["frames"] >= 20 for r in by_pp[pp])
+        assert floor(by_pp[pp], "naive") > 0.1, pp  # M=64: no waterfall
+
+
 MODULATED = ART_DIR / "modulated_sweep.json"
 PA = ART_DIR / "pa_sweep.json"
 MINSUM = ART_DIR / "minsum_campaign.json"
