@@ -151,6 +151,127 @@ def run_numpy_point(L, M, P, R, awgn_var, t_max, trials, seed):
 
 
 # --------------------------------------------------------------------------
+# Spatially-coupled oracle: per-block subsampled-DCT design + 2-D-W AMP
+# --------------------------------------------------------------------------
+
+def sc_base_matrix(P, omega, Lambda):
+    """(omega, Lambda) base matrix, re-derived from the construction at
+    sparc_public/sparc.py:534-567: column c spreads power P*Lr/omega over
+    rows c..c+omega-1; the matrix mean equals P."""
+    Lr = Lambda + omega - 1
+    W = np.zeros((Lr, Lambda))
+    for c in range(Lambda):
+        W[c:c + omega, c] = P * Lr / omega
+    return W
+
+
+def make_block_dct_design(W, L, M, n, rng):
+    """Blockwise subsampled-DCT SPARC design for a 2-D base matrix
+    (the reference's W.ndim==2 engine, sparc_public/sparc.py:832-877,
+    re-derived): one independent seeded sub-DCT per nonzero (r, c) block,
+    scaled sqrt(W[r,c]/L)."""
+    Lr, Lc = W.shape
+    LM = L * M
+    Mr, Mc = n // Lr, LM // Lc
+    w = 1 << int(np.ceil(np.log2(max(Mr + 1, Mc + 1))))
+    blocks = []
+    for r in range(Lr):
+        for c in range(Lc):
+            if W[r, c] != 0:
+                rows = rng.permutation(np.arange(1, w, dtype=np.int64))[:Mr]
+                cols = rng.permutation(np.arange(1, w, dtype=np.int64))[:Mc]
+                blocks.append((r, c, rows, cols,
+                               np.sqrt(W[r, c] / L) * np.sqrt(w)))
+
+    def Ab(beta):
+        out = np.zeros(n)
+        for r, c, rows, cols, sc in blocks:
+            x_ext = np.zeros(w)
+            x_ext[cols] = beta[c * Mc:(c + 1) * Mc]
+            out[r * Mr:(r + 1) * Mr] += \
+                sc * dct(x_ext, norm="ortho", workers=-1)[rows]
+        return out
+
+    def Az(z):
+        out = np.zeros(LM)
+        for r, c, rows, cols, sc in blocks:
+            y_ext = np.zeros(w)
+            y_ext[rows] = z[r * Mr:(r + 1) * Mr]
+            out[c * Mc:(c + 1) * Mc] += \
+                sc * idct(y_ext, norm="ortho", workers=-1)[cols]
+        return out
+
+    return Ab, Az
+
+
+def numpy_sc_amp_trial(L, M, P, R, omega, Lambda, awgn_var, t_max, rng,
+                       rtol=1e-6):
+    """One float64 spatially-coupled trial: 2-D-W AMP re-derived from the
+    unified block equations (sparc_public/sparc.py:883-999, W.ndim==2
+    branches): per-row-block phi, per-column-block tau, Onsager coefficient
+    repeated over row blocks."""
+    logM = M.bit_length() - 1
+    W = sc_base_matrix(P, omega, Lambda)
+    Lr, Lc = W.shape
+    LM = L * M
+    n0 = int(round(L * logM / R))
+    Mr = int(round(n0 / Lr))
+    n = Mr * Lr                      # row-block rounding (sparc.py:40-43)
+    Mc = LM // Lc
+    sec_per_col = L // Lc
+
+    Ab, Az = make_block_dct_design(W, L, M, n, rng)
+    idx0 = rng.integers(0, M, L)
+    beta0 = np.zeros(LM)
+    beta0[np.arange(L) * M + idx0] = 1.0
+    y = Ab(beta0) + rng.normal(0.0, np.sqrt(awgn_var), n)
+
+    atol = 2 * np.finfo(np.float64).resolution
+    beta = np.zeros(LM)
+    z = y
+    psi = np.ones(Lc)
+    phi = None
+    s = None
+    t_final = t_max - 1
+    for t in range(t_max - 1):
+        gamma = W @ psi / Lc                     # (Lr,)
+        if t > 0:
+            z = y - Ab(beta) + np.repeat(gamma / phi, Mr) * z
+        phi = awgn_var + gamma
+        tau = (L / Mr) / (W.T @ (1.0 / phi))     # (Lc,)
+        s = beta + np.repeat(tau, Mc) * Az(z / np.repeat(phi, Mr))
+        tau_sec = np.repeat(tau, sec_per_col)    # (L,)
+        x = s.reshape(L, M) / tau_sec[:, None]
+        x -= x.max(axis=1, keepdims=True)
+        e = np.exp(x)
+        beta = (e / e.sum(axis=1, keepdims=True)).reshape(LM)
+        psi_prev = psi
+        psi = 1.0 - (beta ** 2).reshape(Lc, -1).sum(axis=1) / sec_per_col
+        if t > 0 and np.allclose(psi, psi_prev, rtol, atol):
+            t_final = t + 1
+            break
+
+    idx_hat = s.reshape(L, M).argmax(axis=1)
+    sec_errs = int(np.count_nonzero(idx_hat != idx0))
+    xor = (idx_hat ^ idx0).astype(np.int64)
+    bit_errs = sum(int(np.count_nonzero((xor >> b) & 1))
+                   for b in range(logM))
+    return sec_errs, bit_errs, t_final
+
+
+def run_numpy_sc_point(L, M, P, R, omega, Lambda, awgn_var, t_max, trials,
+                       seed):
+    rng = np.random.default_rng(seed)
+    sec = np.zeros(trials, np.int64)
+    bits = np.zeros(trials, np.int64)
+    iters = np.zeros(trials, np.int64)
+    for i in range(trials):
+        sec[i], bits[i], iters[i] = numpy_sc_amp_trial(
+            L, M, P, R, omega, Lambda, awgn_var, t_max, rng)
+    return sec, bits, iters
+
+
+# --------------------------------------------------------------------------
 # JAX/TPU side: per-frame counts through the framework's own decoder
 # --------------------------------------------------------------------------
 
@@ -217,9 +338,10 @@ def summarize(sec, bits, iters, L, logM):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--np-trials", type=int, default=160)
+    ap.add_argument("--family", choices=("plain", "sc"), default="plain")
+    ap.add_argument("--np-trials", type=int, default=None)
     ap.add_argument("--jax-trials", type=int, default=1024)
-    ap.add_argument("--t-max", type=int, default=30)
+    ap.add_argument("--t-max", type=int, default=None)
     ap.add_argument("--quick", action="store_true",
                     help="2 points, few trials (smoke only; do not commit)")
     args = ap.parse_args()
@@ -231,17 +353,33 @@ def main():
     enable_persistent_cache()
     from ldpc_sparc_tpu import SparcParams, DecodeParams
 
-    params = SparcParams(P=15.0, R=1.0, L=1024, M=512)
-    decode = DecodeParams(t_max=args.t_max)
+    if args.family == "plain":
+        # north-star config; threshold region of docs/artifacts/
+        # flagship_sweep.json (SE threshold snr ~3.88)
+        params = SparcParams(P=15.0, R=1.0, L=1024, M=512)
+        snrs = [3.25, 3.5625, 3.875, 4.1875]
+        t_max = args.t_max or 30
+        np_trials = args.np_trials or 160
+        artifact = "oracle_parity.json"
+    else:
+        # the demo notebook's SC config (sparc_demo.ipynb cell 10). The
+        # asymptotic SE threshold sits at snr ~7.8, but at L=1024/Lambda=8
+        # (128 sections per column block) the finite-length wave decodes
+        # from snr ~10.5 and needs ~2x the demo's t_max to traverse the
+        # coupling chain (measured: snr 10.5 SER 0.18 at t_max=25 vs
+        # 2e-4 at 60) — points span fail/transition/near-clean/clean
+        params = SparcParams(P=15.0, R=1.4, L=1024, M=32,
+                             spatially_coupled=True, omega=2, Lambda=8)
+        snrs = [8.5, 9.5, 10.5, 12.0]
+        t_max = args.t_max or 60
+        np_trials = args.np_trials or 200
+        artifact = "oracle_parity_sc.json"
+    decode = DecodeParams(t_max=t_max)
     logM = params.M.bit_length() - 1
 
-    # threshold region of the flagship config (SE threshold snr ~3.88,
-    # docs/artifacts/flagship_sweep.json): two above-threshold points with
-    # O(10%) error rates, one at threshold, one below
-    snrs = [3.25, 3.5625, 3.875, 4.1875]
-    np_trials, jax_trials = args.np_trials, args.jax_trials
+    jax_trials = args.jax_trials
     if args.quick:
-        snrs = [3.25, 4.1875]
+        snrs = snrs[:1] + snrs[-1:]
         np_trials, jax_trials = 8, 64
 
     points = []
@@ -253,9 +391,14 @@ def main():
                                    seed0=400 + i)
         tj = time.perf_counter() - tj0
         tn0 = time.perf_counter()
-        ns, nb, ni = run_numpy_point(params.L, params.M, params.P, params.R,
-                                     var, args.t_max, np_trials,
-                                     seed=8000 + i)
+        if args.family == "plain":
+            ns, nb, ni = run_numpy_point(
+                params.L, params.M, params.P, params.R, var, t_max,
+                np_trials, seed=8000 + i)
+        else:
+            ns, nb, ni = run_numpy_sc_point(
+                params.L, params.M, params.P, params.R, params.omega,
+                params.Lambda, var, t_max, np_trials, seed=8000 + i)
         tn = time.perf_counter() - tn0
         jrow = summarize(js, jb, ji, params.L, logM)
         nrow = summarize(ns, nb, ni, params.L, logM)
@@ -271,15 +414,19 @@ def main():
         print(json.dumps({"snr": snr, "jax_ser": jrow["ser"],
                           "np_ser": nrow["ser"], "sigma": sig}), flush=True)
 
+    cfg = {"P": params.P, "R": params.R, "L": params.L,
+           "M": params.M, "t_max": t_max}
+    if params.spatially_coupled:
+        cfg.update(spatially_coupled=True, omega=params.omega,
+                   Lambda=params.Lambda)
     out = {"platform": jax.devices()[0].platform,
-           "config": {"P": params.P, "R": params.R, "L": params.L,
-                      "M": params.M, "t_max": args.t_max},
+           "config": cfg,
            "oracle": "independent NumPy float64 subsampled-DCT AMP "
                      "(benchmarks/oracle_parity.py)",
            "wall_s": round(time.perf_counter() - t0, 1),
            "quick": bool(args.quick),
            "points": points}
-    path = os.path.join(ART, "oracle_parity.json")
+    path = os.path.join(ART, artifact)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"artifact": path, "wall_s": out["wall_s"]}))

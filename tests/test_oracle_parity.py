@@ -65,3 +65,52 @@ def test_flagship_oracle_parity_artifact():
     assert nonzero_both >= 2
     assert min(p["jax"]["ser"] for p in points) < 0.01
     assert max(p["jax"]["ser"] for p in points) > 0.05
+
+
+SC_PARITY = ART / "oracle_parity_sc.json"
+
+
+def test_numpy_sc_oracle_is_a_working_decoder():
+    """The spatially-coupled oracle decodes: exact at high SNR (the demo
+    operating point), failing below the finite-length threshold."""
+    from oracle_parity import numpy_sc_amp_trial
+    rng = np.random.default_rng(1)
+    sec, bits, t_final = numpy_sc_amp_trial(256, 32, 15.0, 1.4, 2, 8,
+                                            1.0, 30, rng)
+    assert sec == 0 and bits == 0
+    # below the finite-length threshold the wave stalls
+    sec, _, _ = numpy_sc_amp_trial(256, 32, 15.0, 1.4, 2, 8, 15.0 / 6.0,
+                                   30, rng)
+    assert sec > 0.2 * 256
+
+
+@pytest.mark.skipif(not SC_PARITY.exists(),
+                    reason="SC parity artifact not present")
+def test_sc_oracle_parity_artifact():
+    """Same gate as the flagship artifact, for the spatially-coupled
+    family (demo cell 10 config, the reference's most complex engine:
+    blockwise 2-D-W transforms + per-block phi/tau AMP)."""
+    doc = json.loads(SC_PARITY.read_text())
+    cfg = doc["config"]
+    assert cfg.get("spatially_coupled")
+    assert (cfg["L"], cfg["M"], cfg["omega"], cfg["Lambda"]) == \
+        (1024, 32, 2, 8)
+    assert not doc.get("quick", False)
+    points = doc["points"]
+    assert len(points) >= 3
+    nonzero_both = 0
+    for p in points:
+        j, n = p["jax"], p["numpy"]
+        assert j["trials"] >= 500
+        assert n["trials"] >= 100
+        sig_ser = np.sqrt(j["frame_ser_std"] ** 2 / j["trials"] +
+                          n["frame_ser_std"] ** 2 / n["trials"])
+        assert abs(j["ser"] - n["ser"]) <= max(4 * sig_ser, 2e-3), p
+        sig_ber = np.sqrt(j["frame_ber_std"] ** 2 / j["trials"] +
+                          n["frame_ber_std"] ** 2 / n["trials"])
+        assert abs(j["ber"] - n["ber"]) <= max(4 * sig_ber, 2e-3), p
+        if j["ser"] > 0 and n["ser"] > 0:
+            nonzero_both += 1
+    assert nonzero_both >= 2
+    assert min(p["jax"]["ser"] for p in points) < 0.01
+    assert max(p["jax"]["ser"] for p in points) > 0.05
