@@ -272,6 +272,245 @@ def run_numpy_sc_point(L, M, P, R, omega, Lambda, awgn_var, t_max, trials,
 
 
 # --------------------------------------------------------------------------
+# Power-allocated oracle: W.ndim==1 engine (B column blocks, full rows)
+# --------------------------------------------------------------------------
+
+def pa_power_allocation(P, sigma_sqr, B, R_PA):
+    """Iterative power allocation (the published recurrence of
+    sparc_public/sparc.py:516-533). Shared BY SPECIFICATION with
+    config.pa_iterative — the allocation is a deterministic function of
+    (P, sigma^2, B, R) that both engines must compute identically, like
+    the IEEE protograph tables; it carries no randomness or decoding
+    logic."""
+    Q = np.zeros(B)
+    for b in range(B):
+        phi = sigma_sqr + P - Q.mean()
+        P_block = 2.0 * np.log(2.0) * R_PA * phi
+        P_spread = (B * P - Q.sum()) / (B - b)
+        if P_block > P_spread:
+            Q[b] = P_block
+        else:
+            Q[b:] = P_spread
+            break
+    return Q / (Q.mean() / P)
+
+
+def make_pa_dct_design(Wv, L, M, n, rng):
+    """Blockwise design for a base VECTOR (the reference's W.ndim==1
+    engine, sparc_public/sparc.py:800-830): B full-height column blocks,
+    block b a seeded sub-DCT scaled sqrt(W[b]/L)."""
+    B = len(Wv)
+    LM = L * M
+    Mc = LM // B
+    w = 1 << int(np.ceil(np.log2(max(n + 1, Mc + 1))))
+    blocks = []
+    for b in range(B):
+        rows = rng.permutation(np.arange(1, w, dtype=np.int64))[:n]
+        cols = rng.permutation(np.arange(1, w, dtype=np.int64))[:Mc]
+        blocks.append((rows, cols, np.sqrt(Wv[b] / L) * np.sqrt(w)))
+
+    def Ab(beta):
+        out = np.zeros(n)
+        for b, (rows, cols, sc) in enumerate(blocks):
+            x_ext = np.zeros(w)
+            x_ext[cols] = beta[b * Mc:(b + 1) * Mc]
+            out += sc * dct(x_ext, norm="ortho", workers=-1)[rows]
+        return out
+
+    def Az(z):
+        out = np.zeros(LM)
+        y_base = np.zeros(w)
+        for b, (rows, cols, sc) in enumerate(blocks):
+            y_ext = y_base.copy()
+            y_ext[rows] = z
+            out[b * Mc:(b + 1) * Mc] = \
+                sc * idct(y_ext, norm="ortho", workers=-1)[cols]
+        return out
+
+    return Ab, Az
+
+
+def numpy_pa_amp_trial(L, M, P, R, B, R_PA_ratio, awgn_var, t_max, rng,
+                       rtol=1e-6):
+    """One float64 power-allocated trial (W.ndim==1 AMP branches of
+    sparc_public/sparc.py:883-999, re-derived): scalar phi, per-column-
+    block tau = L*phi/(n*W[b])."""
+    logM = M.bit_length() - 1
+    n = int(round(L * logM / R))
+    LM = L * M
+    Mc = LM // B
+    sec_per_blk = L // B
+    Wv = pa_power_allocation(P, awgn_var, B, R * R_PA_ratio)
+
+    Ab, Az = make_pa_dct_design(Wv, L, M, n, rng)
+    idx0 = rng.integers(0, M, L)
+    beta0 = np.zeros(LM)
+    beta0[np.arange(L) * M + idx0] = 1.0
+    y = Ab(beta0) + rng.normal(0.0, np.sqrt(awgn_var), n)
+
+    atol = 2 * np.finfo(np.float64).resolution
+    beta = np.zeros(LM)
+    z = y
+    psi = np.ones(B)
+    phi = None
+    s = None
+    t_final = t_max - 1
+    for t in range(t_max - 1):
+        gamma = float(Wv @ psi) / B              # scalar
+        if t > 0:
+            z = y - Ab(beta) + (gamma / phi) * z
+        phi = awgn_var + gamma
+        tau = (L * phi / n) / Wv                 # (B,)
+        s = beta + np.repeat(tau, Mc) * Az(z / phi)
+        tau_sec = np.repeat(tau, sec_per_blk)
+        x = s.reshape(L, M) / tau_sec[:, None]
+        x -= x.max(axis=1, keepdims=True)
+        e = np.exp(x)
+        beta = (e / e.sum(axis=1, keepdims=True)).reshape(LM)
+        psi_prev = psi
+        psi = 1.0 - (beta ** 2).reshape(B, -1).sum(axis=1) / sec_per_blk
+        if t > 0 and np.allclose(psi, psi_prev, rtol, atol):
+            t_final = t + 1
+            break
+
+    idx_hat = s.reshape(L, M).argmax(axis=1)
+    sec_errs = int(np.count_nonzero(idx_hat != idx0))
+    xor = (idx_hat ^ idx0).astype(np.int64)
+    bit_errs = sum(int(np.count_nonzero((xor >> b) & 1))
+                   for b in range(logM))
+    return sec_errs, bit_errs, t_final
+
+
+def run_numpy_pa_point(L, M, P, R, B, R_PA_ratio, awgn_var, t_max, trials,
+                       seed):
+    rng = np.random.default_rng(seed)
+    sec = np.zeros(trials, np.int64)
+    bits = np.zeros(trials, np.int64)
+    iters = np.zeros(trials, np.int64)
+    for i in range(trials):
+        sec[i], bits[i], iters[i] = numpy_pa_amp_trial(
+            L, M, P, R, B, R_PA_ratio, awgn_var, t_max, rng)
+    return sec, bits, iters
+
+
+# --------------------------------------------------------------------------
+# Modulated-complex oracle: subsampled-FFT design + K-PSK AMP
+# --------------------------------------------------------------------------
+
+def make_fft_design(n, LM, P, L, rng):
+    """Seeded subsampled-FFT design (the reference's complex engine,
+    sparc_public/sparc.py:593-646, re-derived): rows/columns drawn without
+    replacement from [0, w) \\ {0, w/2} of the UNNORMALIZED w-point DFT
+    matrix (unit-modulus entries), scaled sqrt(P/L)."""
+    w = 1 << int(np.ceil(np.log2(max(n + 2, LM + 2))))
+    allowed = np.delete(np.arange(w, dtype=np.int64), [0, w // 2])
+    rows = rng.permutation(allowed)[:n]
+    cols = rng.permutation(allowed)[:LM]
+    scale = np.sqrt(P / L)
+
+    def Ab(beta):
+        x_ext = np.zeros(w, dtype=complex)
+        x_ext[cols] = beta
+        return scale * np.fft.fft(x_ext)[rows]
+
+    def Az(z):
+        y_ext = np.zeros(w, dtype=complex)
+        y_ext[rows] = z
+        # adjoint A^H: conj(F)^T = conj(fft(conj(.)))
+        return scale * np.conj(np.fft.fft(np.conj(y_ext)))[cols]
+
+    return Ab, Az
+
+
+def numpy_mod_amp_trial(L, M, P, R, K, awgn_var, t_max, rng, rtol=1e-6):
+    """One float64 complex K-PSK modulated trial (scalar-W complex AMP,
+    sparc_public/sparc.py:883-999 + the K=4 MMSE/MAP estimators at
+    :402-513, re-derived): circular AWGN of total variance awgn_var,
+    per-dimension effective noise tau/2, Gray-coded value bits.
+
+    Returns (sec_errs, loc_errs, val_errs, bit_errs, t_final)."""
+    assert K == 4, "oracle implements the reference's K=4 demo family"
+    logM = M.bit_length() - 1
+    logK = 2
+    n = int(round(L * (logM + logK) / R))
+    LM = L * M
+
+    Ab, Az = make_fft_design(n, LM, P, L, rng)
+    idx0 = rng.integers(0, M, L)
+    vbits0 = rng.integers(0, K, L)           # Gray-coded value bits
+    k0 = vbits0 ^ (vbits0 >> 1)              # gray2bin -> constellation idx
+    constel = np.array([1 + 0j, 0 + 1j, -1 + 0j, 0 - 1j])
+    beta0 = np.zeros(LM, dtype=complex)
+    beta0[np.arange(L) * M + idx0] = constel[k0]
+    noise = (rng.normal(size=n) + 1j * rng.normal(size=n)) \
+        * np.sqrt(awgn_var / 2)
+    y = Ab(beta0) + noise
+
+    atol = 2 * np.finfo(np.float64).resolution
+    beta = np.zeros(LM, dtype=complex)
+    z = y
+    psi = 1.0
+    phi = None
+    s = None
+    t_final = t_max - 1
+    for t in range(t_max - 1):
+        gamma = P * psi
+        if t > 0:
+            z = y - Ab(beta) + (gamma / phi) * z
+        phi = awgn_var + gamma
+        tau = L * phi / (n * P)
+        s = beta + (tau / phi) * Az(z)
+        tau2 = tau / 2.0                      # per-dimension variance
+        xr = (np.real(s) / tau2).reshape(L, M)
+        xi = (np.imag(s) / tau2).reshape(L, M)
+        m = np.maximum(np.abs(xr), np.abs(xi)).max(axis=1, keepdims=True)
+        er, emr = np.exp(xr - m), np.exp(-xr - m)
+        ei, emi = np.exp(xi - m), np.exp(-xi - m)
+        num = (er - emr) + 1j * (ei - emi)    # 2(sinh xr + i sinh xi) e^-m
+        den = (er + emr + ei + emi).sum(axis=1, keepdims=True)
+        beta = (num / den).reshape(LM)
+        psi_prev = psi
+        psi = 1.0 - float((np.abs(beta) ** 2).sum()) / L
+        if t > 0 and np.isclose(psi, psi_prev, rtol, atol):
+            t_final = t + 1
+            break
+
+    # MAP on s: per section maximize Re(s_j conj(c_k))
+    sr = np.real(s).reshape(L, M)
+    si = np.imag(s).reshape(L, M)
+    best = np.maximum(np.abs(sr), np.abs(si))
+    j_hat = best.argmax(axis=1)
+    r = sr[np.arange(L), j_hat]
+    q = si[np.arange(L), j_hat]
+    k_hat = np.where(np.abs(r) >= np.abs(q),
+                     np.where(r > 0, 0, 2), np.where(q > 0, 1, 3))
+    loc_e = j_hat != idx0
+    val_e = k_hat != k0
+    sec_errs = int(np.count_nonzero(loc_e | val_e))
+    loc_errs = int(np.count_nonzero(loc_e))
+    val_errs = int(np.count_nonzero(val_e))
+    vbits_hat = k_hat ^ (k_hat >> 1)          # bin2gray
+    xor_loc = (j_hat ^ idx0).astype(np.int64)
+    xor_val = (vbits_hat ^ vbits0).astype(np.int64)
+    bit_errs = sum(int(np.count_nonzero((xor_loc >> b) & 1))
+                   for b in range(logM))
+    bit_errs += sum(int(np.count_nonzero((xor_val >> b) & 1))
+                    for b in range(logK))
+    return sec_errs, loc_errs, val_errs, bit_errs, t_final
+
+
+def run_numpy_mod_point(L, M, P, R, K, awgn_var, t_max, trials, seed):
+    rng = np.random.default_rng(seed)
+    sec = np.zeros(trials, np.int64)
+    bits = np.zeros(trials, np.int64)
+    iters = np.zeros(trials, np.int64)
+    for i in range(trials):
+        sec[i], _, _, bits[i], iters[i] = numpy_mod_amp_trial(
+            L, M, P, R, K, awgn_var, t_max, rng)
+    return sec, bits, iters
+
+
+# --------------------------------------------------------------------------
 # JAX/TPU side: per-frame counts through the framework's own decoder
 # --------------------------------------------------------------------------
 
@@ -338,7 +577,8 @@ def summarize(sec, bits, iters, L, logM):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--family", choices=("plain", "sc"), default="plain")
+    ap.add_argument("--family", choices=("plain", "sc", "pa", "modulated"),
+                    default="plain")
     ap.add_argument("--np-trials", type=int, default=None)
     ap.add_argument("--jax-trials", type=int, default=1024)
     ap.add_argument("--t-max", type=int, default=None)
@@ -361,7 +601,7 @@ def main():
         t_max = args.t_max or 30
         np_trials = args.np_trials or 160
         artifact = "oracle_parity.json"
-    else:
+    elif args.family == "sc":
         # the demo notebook's SC config (sparc_demo.ipynb cell 10). The
         # asymptotic SE threshold sits at snr ~7.8, but at L=1024/Lambda=8
         # (128 sections per column block) the finite-length wave decodes
@@ -374,6 +614,32 @@ def main():
         t_max = args.t_max or 60
         np_trials = args.np_trials or 200
         artifact = "oracle_parity_sc.json"
+    elif args.family == "pa":
+        # demo cell 6 config; points from docs/artifacts/pa_sweep.json
+        # (gradual finite-length waterfall: SER 0.21 -> 5e-4)
+        params = SparcParams(P=15.0, R=1.4, L=1024, M=32,
+                             power_allocated=True, B=32, R_PA_ratio=0.9)
+        snrs = [8.0, 9.0, 10.0, 12.0]
+        t_max = args.t_max or 25
+        np_trials = args.np_trials or 200
+        artifact = "oracle_parity_pa.json"
+    else:
+        # demo cell 14 config (K=4 complex). NOTE a deliberate design
+        # divergence in this family: the reference's complex engine is a
+        # subsampled DFT (sub_fft); this framework standardizes on the
+        # real SRHT design applied to complex message vectors (MXU-
+        # friendly — a complex FFT maps poorly to the systolic array).
+        # The two STRUCTURED ensembles agree in the error-floor region
+        # but sit ~0.2-0.3 linear snr units apart on the waterfall cliff
+        # (SRHT earlier; a dense iid-complex-Gaussian referee is worse
+        # than both — see the gate's threshold-offset bound). Points
+        # therefore span the cliff AND the floor.
+        params = SparcParams(P=15.0, R=2.6, L=2048, M=8, modulated=True,
+                             K=4, is_complex=True)
+        snrs = [6.0, 6.5, 7.0, 7.5, 8.0, 9.0, 10.0]
+        t_max = args.t_max or 25
+        np_trials = args.np_trials or 96
+        artifact = "oracle_parity_mod.json"
     decode = DecodeParams(t_max=t_max)
     logM = params.M.bit_length() - 1
 
@@ -395,10 +661,18 @@ def main():
             ns, nb, ni = run_numpy_point(
                 params.L, params.M, params.P, params.R, var, t_max,
                 np_trials, seed=8000 + i)
-        else:
+        elif args.family == "sc":
             ns, nb, ni = run_numpy_sc_point(
                 params.L, params.M, params.P, params.R, params.omega,
                 params.Lambda, var, t_max, np_trials, seed=8000 + i)
+        elif args.family == "pa":
+            ns, nb, ni = run_numpy_pa_point(
+                params.L, params.M, params.P, params.R, params.B,
+                params.R_PA_ratio, var, t_max, np_trials, seed=8000 + i)
+        else:
+            ns, nb, ni = run_numpy_mod_point(
+                params.L, params.M, params.P, params.R, params.K, var,
+                t_max, np_trials, seed=8000 + i)
         tn = time.perf_counter() - tn0
         jrow = summarize(js, jb, ji, params.L, logM)
         nrow = summarize(ns, nb, ni, params.L, logM)
@@ -419,6 +693,11 @@ def main():
     if params.spatially_coupled:
         cfg.update(spatially_coupled=True, omega=params.omega,
                    Lambda=params.Lambda)
+    if params.power_allocated:
+        cfg.update(power_allocated=True, B=params.B,
+                   R_PA_ratio=params.R_PA_ratio)
+    if params.modulated:
+        cfg.update(modulated=True, K=params.K, is_complex=True)
     out = {"platform": jax.devices()[0].platform,
            "config": cfg,
            "oracle": "independent NumPy float64 subsampled-DCT AMP "
