@@ -48,8 +48,12 @@ def main():
     records_to_csv(records, os.path.join(ART, "campaign_results.csv"))
     plot_waterfalls(records, os.path.join(ART, "campaign_waterfalls.pdf"),
                     title="On-chip 2018-campaign reproduction")
+    plot_waterfalls(records,
+                    os.path.join(ART, "campaign_waterfalls_bler.pdf"),
+                    title="On-chip 2018-campaign reproduction (BLER)",
+                    metric="bler")
     print(f"wrote {len(records)} records -> campaign_results.txt/.csv, "
-          "campaign_waterfalls.pdf")
+          "campaign_waterfalls{,_bler}.pdf")
 
 
 if __name__ == "__main__":
