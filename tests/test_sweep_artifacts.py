@@ -249,3 +249,24 @@ def test_flagship_waterfall_matches_se_threshold():
     # SE agrees with itself: psi_final small exactly where decode works
     assert decoded[0]["se_psi_final"] < 0.01
     assert below[-1]["se_psi_final"] > 0.1
+
+
+SCALE = ART_DIR / "scale_probe.json"
+
+
+@pytest.mark.skipif(not SCALE.exists(), reason="scale probe not present")
+def test_scale_probe_artifact():
+    """Beyond-reference scale: configs up to 8x the flagship design size
+    (LM = 2^22) decode near threshold on one chip. The largest row's
+    design would be ~1.3 TB dense — out of reach for the reference's
+    stack at any speed."""
+    doc = json.loads(SCALE.read_text())
+    rows = sorted(doc["rows"], key=lambda r: r["LM"])
+    assert len(rows) >= 3
+    assert rows[-1]["LM"] >= 1 << 22
+    for r in rows:
+        assert r["trials"] >= 32
+        # near-threshold point genuinely decodes (low but nonzero BER
+        # region, far from the ~0.3 failure plateau)
+        assert r["ber"] < 5e-3, r
+        assert r["wall_s"] < 120, r
