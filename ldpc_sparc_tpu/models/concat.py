@@ -242,9 +242,9 @@ class ConcatCodec:
 
         At the reference's z=150 config (mults=4) a per-trial call fills 4
         of 128 vector lanes; packed, runs>=32 trials fill whole tiles and
-        the batch routes to the Pallas kernel (>=64 lanes). Measured: the
-        sequential z=150 point drops 1.24 s -> 0.14 s at runs=20
-        (docs/ROOFLINE.md, concat section)."""
+        the batch routes to the Pallas kernel (>=64 lanes). Measured on
+        the z=150 sweep points at runs=20: integrated 1.79 -> 0.17 s,
+        sequential 1.32 -> 0.17 s (docs/ROOFLINE.md section 7)."""
         B = bit_probs.shape[0]
         eps = 1e-7
         p = jnp.clip(bit_probs, eps, 1 - eps)
