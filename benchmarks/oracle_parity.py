@@ -557,16 +557,18 @@ def run_jax_point(params, decode, awgn_var, trials, seed0, chunk=128):
     return sec, bit, it
 
 
-def summarize(sec, bits, iters, L, logM):
+def summarize(sec, bits, iters, L, bits_per_sec):
+    """bits_per_sec: message bits PER SECTION (logM, plus logK for
+    modulated codes — both engines count errors over ALL of them)."""
     frames = len(sec)
     fser = sec / L
-    fber = bits / (L * logM)
+    fber = bits / (L * bits_per_sec)
     return {
         "trials": int(frames),
         "sec_errs": int(sec.sum()), "sections": int(frames * L),
-        "bit_errs": int(bits.sum()), "bits": int(frames * L * logM),
+        "bit_errs": int(bits.sum()), "bits": int(frames * L * bits_per_sec),
         "ser": float(sec.sum() / (frames * L)),
-        "ber": float(bits.sum() / (frames * L * logM)),
+        "ber": float(bits.sum() / (frames * L * bits_per_sec)),
         "fer": float(np.mean(sec > 0)),
         "frame_ser_std": float(fser.std(ddof=1)),
         "frame_ber_std": float(fber.std(ddof=1)),
@@ -641,7 +643,7 @@ def main():
         np_trials = args.np_trials or 96
         artifact = "oracle_parity_mod.json"
     decode = DecodeParams(t_max=t_max)
-    logM = params.M.bit_length() - 1
+    bits_per_sec = params.sec_size  # logM + logK
 
     jax_trials = args.jax_trials
     if args.quick:
@@ -674,8 +676,8 @@ def main():
                 params.L, params.M, params.P, params.R, params.K, var,
                 t_max, np_trials, seed=8000 + i)
         tn = time.perf_counter() - tn0
-        jrow = summarize(js, jb, ji, params.L, logM)
-        nrow = summarize(ns, nb, ni, params.L, logM)
+        jrow = summarize(js, jb, ji, params.L, bits_per_sec)
+        nrow = summarize(ns, nb, ni, params.L, bits_per_sec)
         # frame-level Welch sigma of the SER difference
         sig = float(np.sqrt(jrow["frame_ser_std"] ** 2 / jrow["trials"] +
                             nrow["frame_ser_std"] ** 2 / nrow["trials"]))

@@ -68,6 +68,10 @@ def cmd_sparc_sweep(args):
         # K > 2 requires the complex design (config.SparcParams invariant)
         kwargs.update(modulated=True, K=args.K,
                       is_complex=args.complex or args.K > 2)
+    elif args.complex:
+        # unmodulated complex SPARC (complex channel, K=1 real-part
+        # denoiser — sparc_public/sparc.py:429-432)
+        kwargs.update(is_complex=True)
     params = SparcParams(**kwargs)
     decode = DecodeParams(t_max=args.t_max)
     snrs = np.linspace(args.snr_start, args.snr_stop, args.num_snrs)

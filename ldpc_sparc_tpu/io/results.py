@@ -310,10 +310,13 @@ def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     floor = 1e-9
 
     def row_snr(r):
-        # normalize PER ROW to linear snr: legacy rows carrying only
-        # 'snr_db' are converted at plot time, so a heterogeneous series
-        # can never silently mix units on one axis (advisor round-4)
-        return r["snr"] if "snr" in r else 10 ** (r["snr_db"] / 10)
+        # normalize PER ROW to linear snr so a heterogeneous series can
+        # never silently mix units on one axis (advisor round-4). The
+        # only producers of rows WITHOUT an 'snr' key are pre-round-4
+        # concat stores, which recorded the LINEAR snr under 'snr_db'
+        # (cli.py store_version note) — so the fallback reads it as
+        # linear verbatim, NOT as decibels.
+        return r["snr"] if "snr" in r else r["snr_db"]
 
     for series, label in zip(rows, labels):
         snr = [row_snr(r) for r in series]

@@ -265,11 +265,18 @@ class ConcatCodec:
                      bp_inner_iters: int = 6, bp_final_iters: int = 200):
         """Batched decode of B trials with cross-trial BP lane packing.
 
-        Per-trial results are BIT-IDENTICAL to `vmap(decode)` (gated by
-        tests/test_concat.py::test_decode_batch_matches_vmap): the AMP
+        Per-trial results are BIT-IDENTICAL to `vmap(decode)`: the AMP
         side runs the same per-trial code under vmap; only the BP calls
         are restructured to run once per (AMP-)iteration over all
-        B*mults blocks.
+        B*mults blocks. Gated two ways: bitwise on the CPU mesh
+        (tests/test_concat.py::test_decode_batch_matches_vmap, where both
+        paths route BP to XLA) AND on real TPU hardware at production
+        packing where the packed path routes to the PALLAS kernel while
+        per-trial stays on XLA — per-trial user-bit counts measured
+        identical for sequential/naive/integrated at the z=150 config
+        with ~12-19k error bits in play (benchmarks/
+        packed_equivalence_check.py, docs/artifacts/
+        packed_equivalence_tpu.json, gated in tests/test_sweep_artifacts).
 
         ys: (B, n). designs: stacked SparcDesign (leading batch axis on
         idx/signs, one design per trial). Returns (B, user_bits_len)."""

@@ -102,8 +102,10 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
             bit_errs = jnp.sum(bits != bits_out)
             if params.modulated:
                 # the reference's modulated error split (calc_ler_ver,
-                # sparc_public/sparc_sim.py:100-175): wrong location vs
-                # wrong PSK value at the right location
+                # sparc_public/sparc_sim.py:100-175): loc_err = decoded
+                # nonzero at the wrong position; val_err = decoded
+                # nonzero VALUE differs from the true one (UNCONDITIONAL
+                # on the location matching, as in the reference)
                 from ..utils.metrics import location_value_errors
                 _, (loc_e, val_e, sec_e) = location_value_errors(
                     beta0, res.beta, L)

@@ -270,3 +270,28 @@ def test_scale_probe_artifact():
         # region, far from the ~0.3 failure plateau)
         assert r["ber"] < 5e-3, r
         assert r["wall_s"] < 120, r
+
+
+PACKED_EQ = ART_DIR / "packed_equivalence_tpu.json"
+
+
+@pytest.mark.skipif(not PACKED_EQ.exists(),
+                    reason="packed equivalence artifact not present")
+def test_packed_equivalence_on_hardware():
+    """The CPU bitwise gate for decode_batch cannot exercise the
+    Pallas/XLA backend split (small lane counts route both paths to XLA).
+    This artifact records the on-TPU check at production size: packed
+    decoding (>=64 lanes -> Pallas BP) vs per-trial vmap decoding (XLA
+    BP) at the z=150 config, with REAL errors in play — per-trial
+    user-bit counts must be identical for every decoder measured."""
+    doc = json.loads(PACKED_EQ.read_text())
+    assert doc["platform"] == "tpu"
+    assert doc["config"]["packed_bp_lanes"] >= 64
+    decoders = set()
+    for r in doc["rows"]:
+        assert r["identical"], r["decoder"]
+        assert r["max_per_trial_delta_bits"] == 0
+        decoders.add(r["decoder"])
+    assert {"sequential", "naive", "integrated"} <= decoders
+    # non-vacuous: at least two decoders exercised real errors
+    assert sum(1 for r in doc["rows"] if sum(r["packed"]) > 0) >= 2
