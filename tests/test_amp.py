@@ -21,7 +21,9 @@ DEC = DecodeParams(t_max=25)
                 spatially_coupled=True, omega=2, Lambda=8),
     SparcParams(P=15.0, R=2.6, L=256, M=8, is_complex=True,
                 modulated=True, K=4),
-], ids=["plain", "pa", "sc", "mod-complex"])
+    SparcParams(P=15.0, R=1.3, L=256, M=32, is_complex=True),
+    SparcParams(P=15.0, R=1.3, L=256, M=16, modulated=True, K=2),
+], ids=["plain", "pa", "sc", "mod-complex", "complex-unmod", "mod-real-k2"])
 def test_high_snr_decodes_exactly(params):
     res = sparc_sim(params, DEC, awgn_var=1.0, seed=0)
     assert float(res["ber"]) == 0.0
