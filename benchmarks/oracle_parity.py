@@ -514,12 +514,14 @@ def run_numpy_mod_point(L, M, P, R, K, awgn_var, t_max, trials, seed):
 # JAX/TPU side: per-frame counts through the framework's own decoder
 # --------------------------------------------------------------------------
 
-def run_jax_point(params, decode, awgn_var, trials, seed0, chunk=128):
-    """Per-frame counts from the framework (SRHT Hadamard engine, f32),
-    one fresh design per chunk so design randomness is averaged too."""
+def run_jax_point(params, decode, awgn_var, trials, seed0, chunk=128,
+                  engine="srht"):
+    """Per-frame counts from the framework (default: SRHT engine, f32;
+    engine='dft' selects the reference-exact complex DFT ensemble), one
+    fresh design per chunk so design randomness is averaged too."""
     import jax
     import jax.numpy as jnp
-    from ldpc_sparc_tpu.ops.transforms import SparcDesign
+    from ldpc_sparc_tpu.models.sparc import design_for_params
     from ldpc_sparc_tpu.models.sparc import amp_decode, awgn_channel
     from ldpc_sparc_tpu.utils import bits as bitops
     from ldpc_sparc_tpu.utils import rng as rngmod
@@ -544,7 +546,7 @@ def run_jax_point(params, decode, awgn_var, trials, seed0, chunk=128):
     n_chunks = (trials + chunk - 1) // chunk
     sec_all, bit_all, it_all = [], [], []
     for c in range(n_chunks):
-        design = SparcDesign.for_params(params, awgn_var, seed=(seed0, c))
+        design = design_for_params(params, awgn_var, (seed0, c), engine)
         root = rngmod.root_key((seed0, 1000 + c))
         keys = jax.vmap(lambda i: jrand.fold_in(root, i))(jnp.arange(chunk))
         sec, bit, it = chunk_counts(design, keys)
@@ -579,7 +581,9 @@ def summarize(sec, bits, iters, L, bits_per_sec):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--family", choices=("plain", "sc", "pa", "modulated"),
+    ap.add_argument("--family",
+                    choices=("plain", "sc", "pa", "modulated",
+                             "modulated_dft"),
                     default="plain")
     ap.add_argument("--np-trials", type=int, default=None)
     ap.add_argument("--jax-trials", type=int, default=1024)
@@ -595,6 +599,7 @@ def main():
     enable_persistent_cache()
     from ldpc_sparc_tpu import SparcParams, DecodeParams
 
+    engine = "srht"
     if args.family == "plain":
         # north-star config; threshold region of docs/artifacts/
         # flagship_sweep.json (SE threshold snr ~3.88)
@@ -625,7 +630,7 @@ def main():
         t_max = args.t_max or 25
         np_trials = args.np_trials or 200
         artifact = "oracle_parity_pa.json"
-    else:
+    elif args.family in ("modulated", "modulated_dft"):
         # demo cell 14 config (K=4 complex). NOTE a deliberate design
         # divergence in this family: the reference's complex engine is a
         # subsampled DFT (sub_fft); this framework standardizes on the
@@ -642,6 +647,13 @@ def main():
         t_max = args.t_max or 25
         np_trials = args.np_trials or 96
         artifact = "oracle_parity_mod.json"
+        if args.family == "modulated_dft":
+            # SAME-ENSEMBLE closing loop: the JAX side uses DftDesign —
+            # the reference's exact subsampled-DFT ensemble — so parity
+            # with the NumPy FFT oracle must be TIGHT at every point,
+            # including the cliff where the SRHT ensemble diverges.
+            engine = "dft"
+            artifact = "oracle_parity_mod_dft.json"
     decode = DecodeParams(t_max=t_max)
     bits_per_sec = params.sec_size  # logM + logK
 
@@ -656,7 +668,7 @@ def main():
         var = float(params.P / snr)
         tj0 = time.perf_counter()
         js, jb, ji = run_jax_point(params, decode, var, jax_trials,
-                                   seed0=400 + i)
+                                   seed0=400 + i, engine=engine)
         tj = time.perf_counter() - tj0
         tn0 = time.perf_counter()
         if args.family == "plain":
@@ -700,6 +712,7 @@ def main():
                    R_PA_ratio=params.R_PA_ratio)
     if params.modulated:
         cfg.update(modulated=True, K=params.K, is_complex=True)
+    cfg["jax_engine"] = engine
     out = {"platform": jax.devices()[0].platform,
            "config": cfg,
            "oracle": "independent NumPy float64 subsampled-DCT AMP "

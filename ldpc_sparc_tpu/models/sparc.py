@@ -25,7 +25,19 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SparcParams, DecodeParams, create_base_matrix
-from ..ops.transforms import SparcDesign
+from ..ops.transforms import SparcDesign, DftDesign
+
+
+def design_for_params(params, awgn_var, seed, engine: str = "srht"):
+    """Design-engine selector. 'srht' (default): the TPU-first real
+    SRHT operator for every family. 'dft': the reference's exact complex
+    subsampled-DFT ensemble (ops/transforms.DftDesign) — opt-in for
+    complex codes where ensemble-exact reference behavior matters
+    (the two differ ~0.25 snr units on the K=4 cliff,
+    docs/artifacts/oracle_parity_mod.json)."""
+    assert engine in ("srht", "dft"), engine
+    cls = DftDesign if engine == "dft" else SparcDesign
+    return cls.for_params(params, awgn_var, seed)
 from ..ops.denoiser import mmse_denoise, map_estimate
 from ..ops.denoiser_pallas import use_fused_denoiser, fused_denoise_update
 from ..utils import bits as bitops
@@ -37,11 +49,13 @@ from ..utils import rng as rngmod
 # --------------------------------------------------------------------------
 
 def sparc_encode(params: SparcParams, awgn_var: float, seed,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None, engine: str = "srht"):
     """Encode a random message to a SPARC codeword.
 
     Mirrors `sparc_encode` (sparc_public/sparc.py:17-53): random bits ->
-    message vector -> x = A @ beta0 through the seeded Hadamard design.
+    message vector -> x = A @ beta0 through the seeded design
+    (`engine`: 'srht' default, 'dft' for the reference's complex
+    ensemble — see design_for_params).
 
     Returns (bits, beta0, x, design).
     """
@@ -49,7 +63,7 @@ def sparc_encode(params: SparcParams, awgn_var: float, seed,
         key = rngmod.root_key(seed)
     bits = bitops.random_bits(rngmod.derive(key, rngmod.BITS), params.bit_len)
     beta0 = bitops.bits_to_msg_vector(bits, params.M, params.K)
-    design = SparcDesign.for_params(params, awgn_var, seed)
+    design = design_for_params(params, awgn_var, seed, engine)
     x = design.ab(beta0)
     return bits, beta0, x, design
 
@@ -257,7 +271,7 @@ def _sim_core(key: jax.Array, design: SparcDesign, W: jnp.ndarray,
 
 
 def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
-              seed) -> dict:
+              seed, engine: str = "srht") -> dict:
     """End-to-end single-trial simulation (sparc_public/sparc_sim.py:8-58).
 
     Returns the reference's metric dict: ber, cer, t_final, nmse, detect,
@@ -269,7 +283,7 @@ def sparc_sim(params: SparcParams, decode: DecodeParams, awgn_var: float,
     they are converted to the reference's index-array surface.
     """
     key = rngmod.root_key(seed)
-    design = SparcDesign.for_params(params, awgn_var, seed)
+    design = design_for_params(params, awgn_var, seed, engine)
     W = jnp.asarray(create_base_matrix(params, awgn_var), jnp.float32)
     results = dict(_sim_core(key, design, W, params, decode,
                              jnp.float32(awgn_var)))

@@ -310,6 +310,79 @@ class SparcDesign:
         return np.asarray(jax.vmap(self.ab)(eye)).T
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DftDesign:
+    """Seeded subsampled-DFT design operator — EXACTLY the reference's
+    complex ensemble (sub_fft, sparc_public/sparc.py:593-646):
+    A = sqrt(P/L) * F_w[rows][:, cols], with F the unnormalized w-point
+    DFT matrix (unit-modulus entries) and rows/cols drawn without
+    replacement from [0, w) \\ {0, w/2}.
+
+    Opt-in alternative to the default real-SRHT design for complex
+    SPARCs: the SRHT is the TPU-first choice (MXU matmul transforms; a
+    complex FFT maps to the slower XLA FFT path), but the two structured
+    ensembles sit ~0.25 linear snr units apart on the K=4 waterfall cliff
+    at L=2048 (docs/artifacts/oracle_parity_mod.json) — users needing the
+    reference's exact ensemble select this engine. Scalar base matrix
+    only (the reference's complex families are all plain-W).
+
+    Array leaves: rows (n,), cols (LM,) int32 subsample index sets.
+    Static: w, n, LM, scale.
+    """
+
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    w: int
+    n: int
+    LM: int
+    scale: float
+
+    def tree_flatten(self):
+        return ((self.rows, self.cols), (self.w, self.n, self.LM, self.scale))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def for_params(cls, params, awgn_var: float, seed) -> "DftDesign":
+        assert params.is_complex, "DftDesign is the complex-code engine"
+        assert params.base_matrix_ndim() == 0, \
+            "DftDesign supports the plain (scalar-W) families only"
+        n, LM = params.codeword_length(), params.L * params.M
+        w = 1 << int(np.ceil(np.log2(max(n + 2, LM + 2))))
+        rng = np.random.default_rng(seed)
+        allowed = np.delete(np.arange(w, dtype=np.int32), [0, w // 2])
+        rows = np.sort(rng.permutation(allowed)[:n])
+        cols = np.sort(rng.permutation(allowed)[:LM])
+        return cls(jnp.asarray(rows), jnp.asarray(cols), w, n, LM,
+                   float(np.sqrt(params.P / params.L)))
+
+    def ab(self, beta: jnp.ndarray) -> jnp.ndarray:
+        """A @ beta. beta: (..., LM) complex -> (..., n) complex."""
+        if beta.ndim > 1:
+            return jax.vmap(self.ab)(beta)
+        x_ext = jnp.zeros(self.w, jnp.complex64).at[self.cols].set(
+            beta.astype(jnp.complex64))
+        return (self.scale * jnp.fft.fft(x_ext)[self.rows])
+
+    def az(self, z: jnp.ndarray) -> jnp.ndarray:
+        """A^H @ z (adjoint: conj(F)^T = conj . fft . conj)."""
+        if z.ndim > 1:
+            return jax.vmap(self.az)(z)
+        y_ext = jnp.zeros(self.w, jnp.complex64).at[self.rows].set(
+            z.astype(jnp.complex64))
+        return (self.scale *
+                jnp.conj(jnp.fft.fft(jnp.conj(y_ext)))[self.cols])
+
+    # -- test utilities -----------------------------------------------------
+    def dense(self) -> np.ndarray:
+        """Materialize A as a dense (n, LM) numpy array. Tests only."""
+        eye = jnp.eye(self.LM, dtype=jnp.complex64)
+        return np.asarray(jax.vmap(self.ab)(eye)).T
+
+
 def stack_designs(params, awgn_var: float, seed, count: int) -> SparcDesign:
     """A stack of `count` independent designs (fresh A per Monte-Carlo
     trial, as the reference draws a new seeded transform per run,

@@ -174,3 +174,40 @@ def test_mod_oracle_parity_artifact():
     assert abs(cj - cn) <= 0.5, (cj, cn)
     assert max(p["jax"]["ser"] for p in points) > 0.05
     assert min(p["jax"]["ser"] for p in points) < 0.01
+
+
+MOD_DFT_PARITY = ART / "oracle_parity_mod_dft.json"
+
+
+@pytest.mark.skipif(not MOD_DFT_PARITY.exists(),
+                    reason="DFT-ensemble parity artifact not present")
+def test_mod_dft_same_ensemble_parity_is_tight():
+    """The SAME-ENSEMBLE closing loop for the modulated family: with the
+    JAX side on DftDesign (the reference's exact subsampled-DFT complex
+    ensemble, ops/transforms.py) the NumPy FFT oracle must agree within
+    4 frame-level sigma at EVERY point — including the waterfall cliff
+    where the default SRHT ensemble shows its documented ~0.25-snr-unit
+    offset. Together with test_mod_oracle_parity_artifact this pins that
+    the cliff offset is an ENSEMBLE property, not a decoder defect."""
+    doc = json.loads(MOD_DFT_PARITY.read_text())
+    cfg = doc["config"]
+    assert cfg.get("jax_engine") == "dft"
+    assert (cfg["L"], cfg["M"], cfg["K"], cfg["R"]) == (2048, 8, 4, 2.6)
+    assert not doc.get("quick", False)
+    points = doc["points"]
+    assert len(points) >= 6
+    nonzero_both = 0
+    for p in points:
+        j, n = p["jax"], p["numpy"]
+        assert j["trials"] >= 500 and n["trials"] >= 90
+        sig = np.sqrt(j["frame_ser_std"] ** 2 / j["trials"] +
+                      n["frame_ser_std"] ** 2 / n["trials"])
+        assert abs(j["ser"] - n["ser"]) <= max(4 * sig, 2e-3), p
+        sigb = np.sqrt(j["frame_ber_std"] ** 2 / j["trials"] +
+                       n["frame_ber_std"] ** 2 / n["trials"])
+        assert abs(j["ber"] - n["ber"]) <= max(4 * sigb, 2e-3), p
+        if j["ser"] > 0 and n["ser"] > 0:
+            nonzero_both += 1
+    assert nonzero_both >= 3  # incl. cliff points
+    assert max(p["jax"]["ser"] for p in points) > 0.05
+    assert min(p["jax"]["ser"] for p in points) < 0.01
