@@ -72,6 +72,9 @@ def sweep(name, params, dec, snrs, trials, t_max, se_samples=4000,
     if params.power_allocated:
         cfg.update(power_allocated=True, B=params.B,
                    R_PA_ratio=params.R_PA_ratio)
+    if params.spatially_coupled:
+        cfg.update(spatially_coupled=True, omega=params.omega,
+                   Lambda=params.Lambda)
     out = {"platform": __import__("jax").devices()[0].platform,
            "config": cfg, "wall_s": round(wall, 1),
            "se_threshold_snr": thr, "rows": rows}
@@ -119,7 +122,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--trials", type=int, default=128)
     ap.add_argument("--t-max", type=int, default=25)
-    ap.add_argument("--only", choices=["modulated", "pa"], default=None)
+    ap.add_argument("--only", choices=["modulated", "pa", "sc"],
+                    default=None)
     args = ap.parse_args()
 
     import jax
@@ -147,6 +151,19 @@ def main():
         sweep("pa_sweep", pp, dec,
               [6.0, 6.5, 7.0, 7.5, 8.0, 8.5, 9.0, 10.0, 12.0, 15.0],
               args.trials, args.t_max)
+
+    if args.only in (None, "sc"):
+        # demo cell 10 config. Decoder t_max=60, not the demo's 25: at
+        # Lambda=8 the decoding wave needs ~2x the demo's iterations to
+        # traverse the coupling chain near threshold (measured in
+        # benchmarks/oracle_parity.py --family sc). The artifact pins the
+        # finite-length gap: asymptotic SE threshold ~7.8 vs measured
+        # collapse ~10.5 at L=1024 (128 sections per column block).
+        ps = SparcParams(P=15.0, R=1.4, L=1024, M=32,
+                         spatially_coupled=True, omega=2, Lambda=8)
+        sweep("sc_sweep", ps, DecodeParams(t_max=60),
+              [7.0, 8.0, 8.5, 9.0, 9.5, 10.0, 10.5, 11.0, 12.0, 15.0],
+              args.trials, 60)
 
 
 if __name__ == "__main__":
