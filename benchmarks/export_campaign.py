@@ -28,7 +28,8 @@ ART = os.path.join(os.path.dirname(os.path.dirname(
 
 def main():
     from ldpc_sparc_tpu.io.results import (record_to_tuple_line,
-                                           records_to_csv, plot_waterfalls)
+                                           records_to_csv, plot_waterfalls,
+                                           plot_standard_comparison)
     doc = json.load(open(os.path.join(ART, "campaign_tpu.json")))
     records = []
     for cfg in doc["configs"]:
@@ -52,6 +53,8 @@ def main():
                     os.path.join(ART, "campaign_waterfalls_bler.pdf"),
                     title="On-chip 2018-campaign reproduction (BLER)",
                     metric="bler")
+    plot_standard_comparison(
+        records, os.path.join(ART, "campaign_standard_comparison.pdf"))
     print(f"wrote {len(records)} records -> campaign_results.txt/.csv, "
           "campaign_waterfalls{,_bler}.pdf")
 

@@ -294,6 +294,80 @@ def plot_waterfalls(records: Iterable[Tuple], out_path,
     return out_path
 
 
+def plot_standard_comparison(records: Iterable[Tuple], out_path,
+                             metric: str = "ber"):
+    """The reference's SECOND disp_res figure family (disp_res.py:96-123):
+    one page per expansion factor z, a 2x2 grid of rate panels, each
+    overlaying the 802.11n and 802.16 (type A/B) waterfalls for that
+    (z, rate) with the Shannon-limit anchor. Pages are emitted for every
+    z present in the records (the reference hardcodes z in {27,54,81}).
+
+    out_path ending in .pdf -> multi-page; otherwise one figure for the
+    z with the most measurements.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    assert metric in ("ber", "bler")
+    ms = [waterfall_metrics(rec) for rec in records]
+    zs = sorted({m["z"] for m in ms})
+    rates = sorted({round(_rate_float(m["rate"]), 3) for m in ms})
+
+    def draw_page(fig, z):
+        for i, R in enumerate(rates[:4]):
+            ax = fig.add_subplot(2, 2, i + 1)
+            for std in ("802.11n", "802.16"):
+                ptypes = sorted({m["ptype"] for m in ms
+                                 if m["standard"] == std and m["z"] == z
+                                 and abs(_rate_float(m["rate"]) - R) < 0.01})
+                for ptype in ptypes:
+                    sel = sorted(
+                        (m for m in ms
+                         if m["standard"] == std and m["z"] == z
+                         and abs(_rate_float(m["rate"]) - R) < 0.01
+                         and m["ptype"] == ptype),
+                        key=lambda m: m["ebn0_db"])
+                    if not sel:
+                        continue
+                    # the reference labels the bare standard unless both
+                    # protograph types exist for this (z, rate)
+                    label = std if len(ptypes) == 1 \
+                        else f"{std} type {ptype}"
+                    ax.semilogy([m["ebn0_db"] for m in sel],
+                                [max(m[metric], 1e-9) for m in sel],
+                                "o-", ms=3, label=label)
+            if R in SHANNON_EBN0_DB:
+                ax.axvline(SHANNON_EBN0_DB[R], color="r", lw=1,
+                           label="Shannon limit")
+            ax.set_title(f"Z={z}, R={R:.3f}")
+            ax.set_xlabel("Eb/N0 (dB)")
+            ax.set_ylabel(metric.upper())
+            ax.grid(True, which="both", alpha=0.3)
+            ax.legend(fontsize=7)
+
+    if str(out_path).endswith(".pdf"):
+        from matplotlib.backends.backend_pdf import PdfPages
+        with PdfPages(out_path) as pdf:
+            for z in zs:
+                if not any(m["z"] == z for m in ms):
+                    continue
+                fig = plt.figure(figsize=(10, 11))
+                draw_page(fig, z)
+                fig.suptitle(f"Standard comparison, Z={z}")
+                fig.tight_layout()
+                pdf.savefig(fig)
+                plt.close(fig)
+        return out_path
+    best_z = max(zs, key=lambda z: sum(m["z"] == z for m in ms))
+    fig = plt.figure(figsize=(10, 11))
+    draw_page(fig, best_z)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_ber_sweep(rows, labels, out_path, title="BER vs SNR"):
     """Multi-decoder BER sweep plot (performance_plots_general.py:141-155).
 

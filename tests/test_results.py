@@ -201,3 +201,23 @@ def test_config_key_distinguishes_configs():
     k3 = _config_key(**{**base, "t_max": 25})
     assert k1 == k1b
     assert len({k1, k2, k3}) == 3
+
+
+def test_plot_standard_comparison(tmp_path):
+    """The reference's SECOND disp_res figure family (per-z pages, 2x2
+    rate panels, standards as overlaid series with the Shannon anchor,
+    disp_res.py:96-123) renders from record tuples — multi-page PDF and
+    single-figure PNG."""
+    from ldpc_sparc_tpu.io.results import plot_standard_comparison
+    recs = []
+    for std, z, pt in (("802.11n", 27, "A"), ("802.16", 27, "A"),
+                       ("802.16", 27, "B"), ("802.16", 54, "A")):
+        for i, snr in enumerate((1.0, 2.0, 3.0)):
+            recs.append((std, "2/3", z, pt, snr, 1000, 100 - 30 * i,
+                         64800, 5000 // (i + 1), 50000))
+    pdf = tmp_path / "cmp.pdf"
+    png = tmp_path / "cmp.png"
+    plot_standard_comparison(recs, str(pdf))
+    plot_standard_comparison(recs, str(png), metric="bler")
+    assert pdf.stat().st_size > 1000
+    assert png.stat().st_size > 1000
