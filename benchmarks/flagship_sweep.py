@@ -127,6 +127,15 @@ def main():
     ax.semilogy([r["snr"] for r in rows],
                 [max(r["ber"], floor * 0.1) for r in rows], "s-",
                 label="measured BER")
+    if deep_rows:
+        ax.semilogy([r["snr"] for r in deep_rows],
+                    [r["ser"] for r in deep_rows], "o--", mfc="none",
+                    label=f"deep SER ({deep_rows[0]['trials']} trials)")
+        ax.errorbar([r["snr"] for r in deep_rows],
+                    [r["ber"] for r in deep_rows],
+                    yerr=[r["ber_ci95"] for r in deep_rows], fmt="s--",
+                    mfc="none", capsize=3,
+                    label="deep BER (95% CI)")
     ax2 = ax.twinx()
     ax2.plot([r["snr"] for r in rows], [r["se_psi_final"] for r in rows],
              "^--", color="gray", label="SE psi_final")
