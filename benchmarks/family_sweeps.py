@@ -1,20 +1,22 @@
-"""Measurement-depth threshold sweeps for the modulated-complex and
-power-allocated SPARC families.
+"""Measurement-depth threshold sweeps for the modulated-complex,
+power-allocated, and spatially-coupled SPARC families.
 
-The reference exercises these two families only as demo cells
+The reference exercises these families only as demo cells
 (sparc_public/sparc_demo.ipynb cell 14: complex K=4 modulated, L=2048,
 M=8, R=2.6; cell 6: power-allocated L=1024, M=32, B=32, R=1.4,
-R_PA_ratio=0.9 — both at awgn_var=1.0, i.e. snr=15). This artifact takes
-each family through the same waterfall-vs-state-evolution protocol as the
+R_PA_ratio=0.9; cell 10: spatially-coupled L=1024, M=32, omega=2,
+Lambda=8 — all at awgn_var=1.0, i.e. snr=15). This artifact takes each
+family through the same waterfall-vs-state-evolution protocol as the
 flagship config (benchmarks/flagship_sweep.py): measured BER/SER (plus
 the reference's ler/ver location/value split for the modulated family,
 sparc_public/sparc_sim.py:100-175) across the threshold region, overlaid
-with the SE fixed point (models/state_evolution.py).
+with the CONVERGED SE fixed point (models/state_evolution.py).
 
-Writes docs/artifacts/modulated_sweep.{json,png} and
-docs/artifacts/pa_sweep.{json,png} (gated by tests/test_sweep_artifacts.py).
+Writes docs/artifacts/{modulated,pa,sc}_sweep.{json,png} (gated by
+tests/test_sweep_artifacts.py).
 
 Usage: python benchmarks/family_sweeps.py [--trials 128] [--platform cpu]
+                                          [--only modulated|pa|sc]
 """
 
 import argparse
