@@ -123,7 +123,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
     ap.add_argument("--trials", type=int, default=128)
-    ap.add_argument("--t-max", type=int, default=25)
+    ap.add_argument("--t-max", type=int, default=None,
+                    help="decoder iterations (default 25; the sc family defaults to 60 — its wave needs ~2x)")
     ap.add_argument("--only", choices=["modulated", "pa", "sc"],
                     default=None)
     args = ap.parse_args()
@@ -135,7 +136,7 @@ def main():
     enable_persistent_cache()
     from ldpc_sparc_tpu import SparcParams, DecodeParams
 
-    dec = DecodeParams(t_max=args.t_max)
+    dec = DecodeParams(t_max=args.t_max or 25)
 
     if args.only in (None, "modulated"):
         # demo cell 14 config; SE flips between snr 7 and 8 — dense points
@@ -144,7 +145,7 @@ def main():
                          is_complex=True)
         sweep("modulated_sweep", pm, dec,
               [6.0, 6.5, 7.0, 7.25, 7.5, 7.75, 8.0, 9.0, 10.0, 15.0],
-              args.trials, args.t_max)
+              args.trials, dec.t_max)
 
     if args.only in (None, "pa"):
         # demo cell 6 config; SE decays through snr 8-9
@@ -152,7 +153,7 @@ def main():
                          B=32, R_PA_ratio=0.9)
         sweep("pa_sweep", pp, dec,
               [6.0, 6.5, 7.0, 7.5, 8.0, 8.5, 9.0, 10.0, 12.0, 15.0],
-              args.trials, args.t_max)
+              args.trials, dec.t_max)
 
     if args.only in (None, "sc"):
         # demo cell 10 config. Decoder t_max=60, not the demo's 25: at
@@ -163,9 +164,10 @@ def main():
         # collapse ~10.5 at L=1024 (128 sections per column block).
         ps = SparcParams(P=15.0, R=1.4, L=1024, M=32,
                          spatially_coupled=True, omega=2, Lambda=8)
-        sweep("sc_sweep", ps, DecodeParams(t_max=60),
+        sc_t = args.t_max or 60
+        sweep("sc_sweep", ps, DecodeParams(t_max=sc_t),
               [7.0, 8.0, 8.5, 9.0, 9.5, 10.0, 10.5, 11.0, 12.0, 15.0],
-              args.trials, 60)
+              args.trials, sc_t)
 
 
 if __name__ == "__main__":

@@ -128,11 +128,15 @@ def main():
                 [max(r["ber"], floor * 0.1) for r in rows], "s-",
                 label="measured BER")
     if deep_rows:
+        # zero-error deep points would be silently masked by semilogy;
+        # floor them at a tenth of one error in the deep bit budget
+        dfloor = 0.1 / deep_rows[0]["bits"]
         ax.semilogy([r["snr"] for r in deep_rows],
-                    [r["ser"] for r in deep_rows], "o--", mfc="none",
+                    [max(r["ser"], dfloor) for r in deep_rows], "o--",
+                    mfc="none",
                     label=f"deep SER ({deep_rows[0]['trials']} trials)")
         ax.errorbar([r["snr"] for r in deep_rows],
-                    [r["ber"] for r in deep_rows],
+                    [max(r["ber"], dfloor) for r in deep_rows],
                     yerr=[r["ber_ci95"] for r in deep_rows], fmt="s--",
                     mfc="none", capsize=3,
                     label="deep BER (95% CI)")

@@ -43,18 +43,23 @@ def snr_at_ber(points, target=1e-4):
     """Log-linear interpolated SNR (dB) where the waterfall crosses
     `target` BER; None if the sweep never reaches it. Measured-zero
     points are floored at a tenth of one error in their bit budget so a
-    [5e-4, 0, 0] tail still brackets the crossing (instead of being
-    dropped and returning None)."""
+    [5e-4, 0, 0] tail still brackets the crossing, and the LAST
+    (highest-SNR) bracketing pair wins so a mid-sweep statistical zero
+    cannot fabricate a spurious early crossing."""
     pts = sorted((p["snr"],
                   max(p["ber"], 0.1 / max(p.get("nbits", 1), 1)))
                  for p in points)
+    best = None
     for (s0, b0), (s1, b1) in zip(pts, pts[1:]):
         if b0 >= target >= b1:
             if b0 == b1:
-                return s0
+                best = float(s0)
+                continue
             f = (np.log10(b0) - np.log10(target)) / \
                 (np.log10(b0) - np.log10(b1))
-            return float(s0 + f * (s1 - s0))
+            best = float(s0 + f * (s1 - s0))
+    if best is not None:
+        return best
     if pts and pts[-1][1] <= target:
         return float(pts[-1][0])
     return None

@@ -314,8 +314,8 @@ def plot_standard_comparison(records: Iterable[Tuple], out_path,
     zs = sorted({m["z"] for m in ms})
     rates = sorted({round(_rate_float(m["rate"]), 3) for m in ms})
 
-    def draw_page(fig, z):
-        for i, R in enumerate(rates[:4]):
+    def draw_page(fig, z, page_rates):
+        for i, R in enumerate(page_rates):
             ax = fig.add_subplot(2, 2, i + 1)
             for std in ("802.11n", "802.16"):
                 ptypes = sorted({m["ptype"] for m in ms
@@ -346,22 +346,25 @@ def plot_standard_comparison(records: Iterable[Tuple], out_path,
             ax.grid(True, which="both", alpha=0.3)
             ax.legend(fontsize=7)
 
+    # paginate rates in chunks of four so >4 distinct rates get extra
+    # pages instead of silently disappearing from the 2x2 grid
+    rate_chunks = [rates[i:i + 4] for i in range(0, len(rates), 4)]
+
     if str(out_path).endswith(".pdf"):
         from matplotlib.backends.backend_pdf import PdfPages
         with PdfPages(out_path) as pdf:
             for z in zs:
-                if not any(m["z"] == z for m in ms):
-                    continue
-                fig = plt.figure(figsize=(10, 11))
-                draw_page(fig, z)
-                fig.suptitle(f"Standard comparison, Z={z}")
-                fig.tight_layout()
-                pdf.savefig(fig)
-                plt.close(fig)
+                for chunk in rate_chunks:
+                    fig = plt.figure(figsize=(10, 11))
+                    draw_page(fig, z, chunk)
+                    fig.suptitle(f"Standard comparison, Z={z}")
+                    fig.tight_layout()
+                    pdf.savefig(fig)
+                    plt.close(fig)
         return out_path
     best_z = max(zs, key=lambda z: sum(m["z"] == z for m in ms))
     fig = plt.figure(figsize=(10, 11))
-    draw_page(fig, best_z)
+    draw_page(fig, best_z, rate_chunks[0])
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)

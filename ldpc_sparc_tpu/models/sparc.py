@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 from ..config import SparcParams, DecodeParams, create_base_matrix
 from ..ops.transforms import SparcDesign, DftDesign
+from ..ops.denoiser import mmse_denoise, map_estimate
+from ..ops.denoiser_pallas import use_fused_denoiser, fused_denoise_update
+from ..utils import bits as bitops
+from ..utils import rng as rngmod
 
 
 def design_for_params(params, awgn_var, seed, engine: str = "srht"):
@@ -34,14 +38,12 @@ def design_for_params(params, awgn_var, seed, engine: str = "srht"):
     subsampled-DFT ensemble (ops/transforms.DftDesign) — opt-in for
     complex codes where ensemble-exact reference behavior matters
     (the two differ ~0.25 snr units on the K=4 cliff,
-    docs/artifacts/oracle_parity_mod.json)."""
+    docs/artifacts/oracle_parity_mod.json). Both engines share the
+    np.random.default_rng(seed) host-randomness convention (int or
+    nested tuple of non-negative ints)."""
     assert engine in ("srht", "dft"), engine
     cls = DftDesign if engine == "dft" else SparcDesign
     return cls.for_params(params, awgn_var, seed)
-from ..ops.denoiser import mmse_denoise, map_estimate
-from ..ops.denoiser_pallas import use_fused_denoiser, fused_denoise_update
-from ..utils import bits as bitops
-from ..utils import rng as rngmod
 
 
 # --------------------------------------------------------------------------
