@@ -17,7 +17,8 @@ scatter/gather/scale elementwise ops into the matmul kernels.
 Tuning knobs (swept on hardware in benchmarks/perf_sweep.py, results in
 docs/ROOFLINE.md):
 
-  * max_log_factor — the largest Kronecker factor is 2^max_log_factor.
+  * max_log_factor — the largest Kronecker factor is 2^max_log_factor
+    ("auto"/None picks 5 or 8 by transform width, the measured optimum).
     Smaller factors mean fewer FLOPs (total = 2 * w * sum(factors)) but more
     passes over the array (HBM traffic = passes * 2 * w * itemsize); larger
     factors trade FLOPs for fewer memory passes. The default is chosen from
@@ -43,7 +44,14 @@ import jax.numpy as jnp
 # Defaults; override with set_fwht_options() or the environment variables
 # LDPC_SPARC_WHT_MAX_LOG_FACTOR / LDPC_SPARC_WHT_DTYPE /
 # LDPC_SPARC_WHT_STAGE_DTYPE (read at import).
-_MAX_LOG_FACTOR = int(os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "5"))
+# "auto" (None internally): pick the factorization by transform width —
+# measured crossover on TPU v5e (docs/ROOFLINE.md section 8): up to
+# w = 2^20 the 2^5-factor chain wins (10,175 vs 9,126 flagship iters/s);
+# from w = 2^21 the 2^8-factor chain wins by ~40% (fewer HBM passes:
+# 1,602 vs 1,156 iters/s at w=2^21, 814 vs 584 at w=2^23).
+_MAX_LOG_FACTOR = os.environ.get("LDPC_SPARC_WHT_MAX_LOG_FACTOR", "auto")
+_MAX_LOG_FACTOR = (None if _MAX_LOG_FACTOR == "auto"
+                   else int(_MAX_LOG_FACTOR))
 _MATMUL_DTYPE = os.environ.get("LDPC_SPARC_WHT_DTYPE", "float32")
 _STAGE_DTYPE = os.environ.get("LDPC_SPARC_WHT_STAGE_DTYPE", "float32")
 
@@ -64,8 +72,11 @@ def set_fwht_options(max_log_factor: int | None = None,
     """
     global _MAX_LOG_FACTOR, _MATMUL_DTYPE, _STAGE_DTYPE
     if max_log_factor is not None:
-        assert 1 <= max_log_factor <= 13
-        _MAX_LOG_FACTOR = int(max_log_factor)
+        if max_log_factor == "auto":
+            _MAX_LOG_FACTOR = None
+        else:
+            assert 1 <= max_log_factor <= 13
+            _MAX_LOG_FACTOR = int(max_log_factor)
     if matmul_dtype is not None:
         assert matmul_dtype in ("float32", "bfloat16")
         _MATMUL_DTYPE = matmul_dtype
@@ -92,8 +103,20 @@ def hadamard_factor(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(_hadamard_np(n), dtype=dtype)
 
 
-def _factorize(log_w: int, max_log_factor: int) -> list[int]:
-    """Split log2(w) into near-equal chunks of at most max_log_factor."""
+def _auto_max_log_factor(log_w: int) -> int:
+    """Measured w-dependent default (TPU v5e sweep, ROOFLINE section 8):
+    small transforms prefer more 2^5 passes (better fusion with the
+    scatter/gather around them), very large transforms prefer fewer,
+    wider 2^8 passes (each pass re-streams the full w-state through
+    HBM). Crossover measured between w=2^20 and w=2^21."""
+    return 5 if log_w <= 20 else 8
+
+
+def _factorize(log_w: int, max_log_factor: int | None) -> list[int]:
+    """Split log2(w) into near-equal chunks of at most max_log_factor
+    (None = the measured width-dependent auto default)."""
+    if max_log_factor is None:
+        max_log_factor = _auto_max_log_factor(log_w)
     if log_w == 0:
         return [1]
     k = -(-log_w // max_log_factor)  # ceil

@@ -63,7 +63,8 @@ def test_amp_iteration_flops_runs_and_scales(mlf):
     try:
         assert profiling.amp_iteration_flops(L, M, n) == f
     finally:
-        wht.set_fwht_options(max_log_factor=prev)
+        wht.set_fwht_options(
+            max_log_factor=prev if prev is not None else "auto")
 
 
 def test_amp_iteration_hbm_bytes_monotone_in_stages():
