@@ -47,8 +47,9 @@ def main():
     params = SparcParams(P=15.0, R=1.0, L=1024, M=512)
     decode = DecodeParams(t_max=25)
     awgn_var = 1.0
-    # batch 256 + max_log_factor 5 are the measured optimum of the
-    # (batch, factorization) sweep — docs/ROOFLINE.md section 1
+    # batch 256 is the measured optimum of the (batch, factorization)
+    # sweep — docs/ROOFLINE.md section 1; the FWHT factorization default
+    # is width-aware (mlf 5 at this w=2^19; ROOFLINE section 8)
     batch = 256
     design = SparcDesign.for_params(params, awgn_var, seed=0)
 
