@@ -311,8 +311,11 @@ def default_bp_backend() -> str:
 def small_batch_bp_backend() -> str:
     """Backend for few-lane BP calls (per-trial blocks inside a vmapped
     decode): the XLA scan, which doesn't pad each call to a 128-lane tile
-    (measured 13.6 s vs 26.1 s per z=150 integrated sweep point on TPU
-    v5e). An explicit LDPC_SPARC_BP_BACKEND still wins, validated."""
+    (round-4 measurement: 13.6 s vs 26.1 s per z=150 integrated sweep
+    point on TPU v5e; Monte-Carlo paths now avoid few-lane calls
+    entirely via decode_batch's cross-trial packing, models/concat.py —
+    the point costs 0.17 s there). An explicit LDPC_SPARC_BP_BACKEND
+    still wins, validated."""
     import os
     if os.environ.get("LDPC_SPARC_BP_BACKEND"):
         return default_bp_backend()
