@@ -79,7 +79,8 @@ def cmd_sparc_sweep(args):
     # resume key carries the FULL config (params + decode + trial count):
     # a changed config in the same --out dir must measure fresh points
     cfg_key = _config_key(params=params, t_max=args.t_max,
-                          trials=args.trials)
+                          trials=args.trials,
+                          engine=args.design_engine)
     rows = []
     for snr in snrs:
         key = f"sparc:{cfg_key}:snr{snr:.3f}:s{args.seed}"
@@ -87,7 +88,8 @@ def cmd_sparc_sweep(args):
             rows.append(store.get(key))
             continue
         [row] = sparc_ber_sweep(params, decode, [params.P / snr],
-                                args.seed, args.trials)
+                                args.seed, args.trials,
+                                engine=args.design_engine)
         row["snr_db"] = 10 * np.log10(snr)
         row["snr"] = float(snr)
         store.append(key, row)
@@ -312,6 +314,11 @@ def main(argv=None):
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--complex", action="store_true",
                    help="complex design (implied by --K > 2)")
+    p.add_argument("--design-engine", choices=("srht", "dft"),
+                   default="srht",
+                   help="design ensemble: the TPU-first real SRHT "
+                        "(default) or the reference's exact complex "
+                        "subsampled DFT (complex plain-W codes only)")
     p.set_defaults(fn=cmd_sparc_sweep)
 
     p = sub.add_parser("ldpc-campaign", help="LDPC BER waterfall campaign")

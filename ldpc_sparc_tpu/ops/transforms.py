@@ -345,6 +345,12 @@ class DftDesign:
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
 
+    def with_leaves(self, rows, cols) -> "DftDesign":
+        """Rebuild with replaced array leaves, carrying the static
+        metadata (same contract as SparcDesign.with_leaves)."""
+        _, aux = self.tree_flatten()
+        return type(self).tree_unflatten(aux, (rows, cols))
+
     @classmethod
     def for_params(cls, params, awgn_var: float, seed) -> "DftDesign":
         assert params.is_complex, "DftDesign is the complex-code engine"

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..config import SparcParams, DecodeParams, LdpcParams, create_base_matrix
-from ..ops.transforms import SparcDesign, stack_designs as _stack_designs
+from ..ops.transforms import SparcDesign
 from ..ops.denoiser import map_estimate
 from ..models.sparc import amp_decode, awgn_channel
 from ..models.ldpc import LdpcCode
@@ -46,8 +46,9 @@ from ..utils import rng as rngmod
 # SPARC Monte Carlo
 # --------------------------------------------------------------------------
 
-# the stacked-design helper is canonical in ops/transforms.stack_designs
-# (one implementation, one (seed, d) convention), imported above
+# design stacks are built generically over each engine's own pytree
+# leaves (see sparc_mc_counts); ops/transforms.stack_designs remains the
+# public SRHT-stack helper for external callers
 
 # compiled SPARC-MC programs, keyed by the full static config (see the
 # concat cache below for the rationale)
@@ -58,7 +59,8 @@ _SPARC_MC_CACHE = {}
 def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
                     awgn_var: float, seed, n_trials: int,
                     mesh: Optional[jax.sharding.Mesh] = None,
-                    n_designs: Optional[int] = None) -> Dict[str, np.ndarray]:
+                    n_designs: Optional[int] = None,
+                    engine: str = "srht") -> Dict[str, np.ndarray]:
     """Run n_trials independent SPARC encode->AWGN->AMP->count trials.
 
     Trial->randomness contract (ONE convention for every Monte-Carlo
@@ -71,9 +73,15 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     design leaves are replicated across devices (P() spec); each vmapped
     trial gathers its design's leaves.
 
+    engine: 'srht' (default) or 'dft' — the design-engine selector of
+    models/sparc.design_for_params (the DFT engine is the reference's
+    exact complex ensemble; complex plain-W codes only).
+
     Returns psum-reduced counters: bit_errs, bits, frame_errs, frames,
     sec_errs, sections, iters.
     """
+    from ..models.sparc import design_for_params
+
     if mesh is None:
         from .mesh import make_mesh
         mesh = make_mesh(sec=1)
@@ -83,11 +91,14 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     n_pad = ((n_trials + n_dp - 1) // n_dp) * n_dp
 
     # one compiled program per static config (true-LRU, like the concat
-    # path): awgn_var, the base matrix W, and the design scale ride as
-    # TRACED arguments, so a whole SNR sweep reuses one binary. W and
-    # scale cannot be closure constants: for PA configs both depend on
-    # awgn_var through the host-side allocation fixed point.
-    cfg = (params, decode, n_designs, n_pad, mesh)
+    # path): awgn_var, the base matrix W, and every design array leaf
+    # ride as TRACED arguments, so a whole SNR sweep reuses one binary.
+    # W and the SRHT scale cannot be closure constants: for PA configs
+    # both depend on awgn_var through the host-side allocation fixed
+    # point. Design leaves are stacked GENERICALLY over the design's own
+    # pytree (idx/signs/scale for SRHT, rows/cols for DFT), so both
+    # engines share this one program structure.
+    cfg = (params, decode, n_designs, n_pad, mesh, engine)
     if cfg not in _SPARC_MC_CACHE:
         M, K, L = params.M, params.K, params.L
 
@@ -117,10 +128,12 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
                 loc_errs = val_errs = jnp.zeros((), sec_errs.dtype)
             return bit_errs, sec_errs, loc_errs, val_errs, res.t_final
 
-        def shard_fn(keys_local, didx_local, valid_local, idx, signs,
-                     scale, W, awgn_var):
+        def shard_fn(keys_local, didx_local, valid_local, dleaves, W,
+                     awgn_var):
+            _, aux = _proto[0].tree_flatten()
             def per_trial(key, di):
-                d = _proto[0].with_leaves(idx[di], signs[di], scale)
+                d = type(_proto[0]).tree_unflatten(
+                    aux, tuple(l[di] for l in dleaves))
                 return one_trial(key, d, W, awgn_var)
             be, se, le, ve, it = jax.vmap(per_trial)(keys_local, didx_local)
             v = valid_local  # padded trials contribute nothing
@@ -135,7 +148,7 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
         _proto = [None]  # template design (static metadata), set pre-trace
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=mesh, check_vma=False,
-            in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P(), P(), P()),
+            in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P()),
             out_specs=P("dp")))
         if len(_SPARC_MC_CACHE) >= _SPARC_MC_CACHE_MAX:
             _SPARC_MC_CACHE.pop(next(iter(_SPARC_MC_CACHE)))
@@ -143,8 +156,11 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     fn, _proto = _SPARC_MC_CACHE.pop(cfg)
     _SPARC_MC_CACHE[cfg] = (fn, _proto)  # refresh recency
 
-    designs = _stack_designs(params, awgn_var, seed, n_designs)
-    _proto[0] = designs
+    designs = [design_for_params(params, awgn_var, (seed, d), engine)
+               for d in range(n_designs)]
+    _proto[0] = designs[0]
+    dleaves = tuple(jnp.stack(ls) for ls in
+                    zip(*[d.tree_flatten()[0] for d in designs]))
     W = jnp.asarray(create_base_matrix(params, float(awgn_var)), jnp.float32)
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(
@@ -152,9 +168,7 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     didx = jnp.arange(n_pad, dtype=jnp.int32) % n_designs
     valid = jnp.arange(n_pad) < n_trials
 
-    res = fn(keys, didx, valid, designs.idx, designs.signs,
-             jnp.asarray(designs.scale, jnp.float32), W,
-             jnp.float32(awgn_var))
+    res = fn(keys, didx, valid, dleaves, W, jnp.float32(awgn_var))
     # rows are psum-replicated; in multi-process runs only local shards are
     # addressable, and any one row carries the global counts
     out = np.asarray(res.addressable_shards[0].data)[0]
@@ -171,12 +185,13 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
 
 def sparc_ber_sweep(params: SparcParams, decode: DecodeParams,
                     awgn_vars, seed, n_trials: int,
-                    mesh: Optional[jax.sharding.Mesh] = None):
+                    mesh: Optional[jax.sharding.Mesh] = None,
+                    engine: str = "srht"):
     """BER/SER/FER at each noise level (the performance_plots sweep)."""
     rows = []
     for i, v in enumerate(np.atleast_1d(awgn_vars)):
         c = sparc_mc_counts(params, decode, float(v), (seed, i), n_trials,
-                            mesh)
+                            mesh, engine=engine)
         row = {
             "awgn_var": float(v),
             "ber": c["bit_errs"] / c["bits"],

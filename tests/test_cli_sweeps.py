@@ -78,3 +78,19 @@ def test_concat_sweep_cli_semi_protected_prefix(tmp_path):
     assert snap["snr_store"].tolist() == [4.0, 6.0]
     # plot emitted
     assert (tmp_path / "concat_sweep_semi.png").exists()
+
+
+def test_sparc_sweep_cli_dft_engine(tmp_path):
+    """--design-engine dft runs the reference-exact complex ensemble
+    through the whole driver surface (resume keys carry the engine, so
+    srht and dft sweeps in one --out dir never collide)."""
+    base = ["sparc-sweep", "--platform", "cpu", "--L", "128", "--M", "8",
+            "--R", "2.6", "--modulated", "--K", "4", "--trials", "4",
+            "--t-max", "12", "--num-snrs", "1", "--snr-start", "15",
+            "--snr-stop", "15", "--out", str(tmp_path)]
+    rows_dft = cli.main(base + ["--design-engine", "dft"])
+    rows_srht = cli.main(base)
+    assert len(rows_dft) == len(rows_srht) == 1
+    store = [json.loads(l) for l in
+             (tmp_path / "sparc_sweep.jsonl").read_text().splitlines()]
+    assert len(store) == 2, "engines must get distinct resume keys"

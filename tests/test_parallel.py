@@ -292,3 +292,30 @@ def test_sparc_mc_program_cache_across_snr_and_families():
         assert a == a2, (a, a2)
         # the two SNRs measure genuinely different operating points
         assert b["bit_errs"] > a["bit_errs"], (a, b)
+
+
+def test_sparc_mc_dft_engine():
+    """The Monte-Carlo harness runs the DFT design engine (the
+    reference's exact complex ensemble) through the same generic
+    stacked-leaves program: high-SNR decodes cleanly and the counters
+    are partition-invariant like the SRHT path."""
+    p = SparcParams(P=15.0, R=2.6, L=256, M=8, modulated=True, K=4,
+                    is_complex=True)
+    dec = DecodeParams(t_max=14)
+    c8 = sparc_mc_counts(p, dec, 1.0, seed=4, n_trials=8,
+                         mesh=make_mesh(sec=1), engine="dft")
+    assert c8["bit_errs"] == 0 and c8["frames"] == 8
+    assert "loc_errs" in c8
+    c1 = sparc_mc_counts(p, dec, 1.0, seed=4, n_trials=8,
+                         mesh=jax.make_mesh((1, 1), ("dp", "sec"),
+                                            devices=jax.devices()[:1]),
+                         engine="dft")
+    assert c8 == c1, (c8, c1)
+    # the two ensembles are different programs AND different randomness:
+    # near threshold they measure different (but nonzero) counts
+    noisy = dict(awgn_var=15.0 / 6.5, seed=4, n_trials=8)
+    cd = sparc_mc_counts(p, dec, mesh=make_mesh(sec=1), engine="dft",
+                         **noisy)
+    cs = sparc_mc_counts(p, dec, mesh=make_mesh(sec=1), engine="srht",
+                         **noisy)
+    assert cd["bit_errs"] > 0 and cs["bit_errs"] > 0
