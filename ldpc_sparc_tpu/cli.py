@@ -78,9 +78,12 @@ def cmd_sparc_sweep(args):
     store = ResultsStore(Path(args.out) / "sparc_sweep.jsonl")
     # resume key carries the FULL config (params + decode + trial count):
     # a changed config in the same --out dir must measure fresh points
+    # the engine joins the resume key only when non-default, so stores
+    # written before the engine existed keep their keys (the concat
+    # store_version bump is the precedent for DELIBERATE invalidation)
+    extra = {} if args.design_engine == "srht"         else {"engine": args.design_engine}
     cfg_key = _config_key(params=params, t_max=args.t_max,
-                          trials=args.trials,
-                          engine=args.design_engine)
+                          trials=args.trials, **extra)
     rows = []
     for snr in snrs:
         key = f"sparc:{cfg_key}:snr{snr:.3f}:s{args.seed}"

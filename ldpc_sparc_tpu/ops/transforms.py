@@ -389,15 +389,23 @@ class DftDesign:
         return np.asarray(jax.vmap(self.ab)(eye)).T
 
 
-def stack_designs(params, awgn_var: float, seed, count: int) -> SparcDesign:
+def stack_designs(params, awgn_var: float, seed, count: int,
+                  engine: str = "srht"):
     """A stack of `count` independent designs (fresh A per Monte-Carlo
     trial, as the reference draws a new seeded transform per run,
     performance_plots_general.py:102). Design d is seeded (seed, d) — the
     ONE seed convention for every Monte-Carlo entry point (the module
-    docstring of parallel/montecarlo.py). The returned design's idx/signs
-    carry a leading batch axis; select a trial's design with
-    `with_leaves(idx[d], signs[d])` or vmap over the array leaves."""
-    designs = [SparcDesign.for_params(params, awgn_var, (seed, d))
+    docstring of parallel/montecarlo.py).
+
+    Engine-generic: returns (proto, stacked_leaves) where proto is the
+    first design (static metadata carrier) and stacked_leaves is a tuple
+    of its pytree leaves with a leading `count` axis (idx/signs/scale
+    for the SRHT engine, rows/cols for the DFT engine). Rebuild design d
+    with `type(proto).tree_unflatten(aux, [l[d] for l in leaves])` —
+    exactly what parallel/montecarlo.sparc_mc_counts does."""
+    from ..models.sparc import design_for_params  # lazy: avoids a cycle
+    designs = [design_for_params(params, awgn_var, (seed, d), engine)
                for d in range(count)]
-    return designs[0].with_leaves(jnp.stack([d.idx for d in designs]),
-                                  jnp.stack([d.signs for d in designs]))
+    leaves = tuple(jnp.stack(ls) for ls in
+                   zip(*[d.tree_flatten()[0] for d in designs]))
+    return designs[0], leaves

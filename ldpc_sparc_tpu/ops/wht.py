@@ -56,7 +56,7 @@ _MATMUL_DTYPE = os.environ.get("LDPC_SPARC_WHT_DTYPE", "float32")
 _STAGE_DTYPE = os.environ.get("LDPC_SPARC_WHT_STAGE_DTYPE", "float32")
 
 
-def set_fwht_options(max_log_factor: int | None = None,
+def set_fwht_options(max_log_factor: int | str | None = None,
                      matmul_dtype: str | None = None,
                      stage_dtype: str | None = None) -> None:
     """Set the FWHT tuning knobs process-wide.
@@ -85,7 +85,9 @@ def set_fwht_options(max_log_factor: int | None = None,
         _STAGE_DTYPE = stage_dtype
 
 
-def get_fwht_options() -> tuple[int, str, str]:
+def get_fwht_options() -> tuple[int | None, str, str]:
+    """Current (max_log_factor, matmul_dtype, stage_dtype); the first
+    slot is None while the width-aware auto default is active."""
     return _MAX_LOG_FACTOR, _MATMUL_DTYPE, _STAGE_DTYPE
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..config import SparcParams, DecodeParams, LdpcParams, create_base_matrix
-from ..ops.transforms import SparcDesign
+from ..ops.transforms import SparcDesign, stack_designs
 from ..ops.denoiser import map_estimate
 from ..models.sparc import amp_decode, awgn_channel
 from ..models.ldpc import LdpcCode
@@ -46,9 +46,8 @@ from ..utils import rng as rngmod
 # SPARC Monte Carlo
 # --------------------------------------------------------------------------
 
-# design stacks are built generically over each engine's own pytree
-# leaves (see sparc_mc_counts); ops/transforms.stack_designs remains the
-# public SRHT-stack helper for external callers
+# design stacks come from the ONE canonical engine-generic helper,
+# ops/transforms.stack_designs (proto + stacked pytree leaves)
 
 # compiled SPARC-MC programs, keyed by the full static config (see the
 # concat cache below for the rationale)
@@ -80,8 +79,6 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     Returns psum-reduced counters: bit_errs, bits, frame_errs, frames,
     sec_errs, sections, iters.
     """
-    from ..models.sparc import design_for_params
-
     if mesh is None:
         from .mesh import make_mesh
         mesh = make_mesh(sec=1)
@@ -156,11 +153,9 @@ def sparc_mc_counts(params: SparcParams, decode: DecodeParams,
     fn, _proto = _SPARC_MC_CACHE.pop(cfg)
     _SPARC_MC_CACHE[cfg] = (fn, _proto)  # refresh recency
 
-    designs = [design_for_params(params, awgn_var, (seed, d), engine)
-               for d in range(n_designs)]
-    _proto[0] = designs[0]
-    dleaves = tuple(jnp.stack(ls) for ls in
-                    zip(*[d.tree_flatten()[0] for d in designs]))
+    proto, dleaves = stack_designs(params, awgn_var, seed, n_designs,
+                                   engine)
+    _proto[0] = proto
     W = jnp.asarray(create_base_matrix(params, float(awgn_var)), jnp.float32)
     root = rngmod.root_key(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(

@@ -116,3 +116,23 @@ def test_dft_design_decodes_through_amp():
     r = sparc_sim(p, DecodeParams(t_max=12), awgn_var=1.0, seed=1,
                   engine="dft")
     assert float(r["ber"]) == 0.0 and float(r["ser"]) == 0.0
+
+
+def test_dft_design_with_leaves_roundtrip():
+    """with_leaves mirrors SparcDesign's contract: replaced array leaves,
+    carried static metadata — the external stack/select surface."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ldpc_sparc_tpu.config import SparcParams
+    from ldpc_sparc_tpu.ops.transforms import DftDesign
+
+    p = SparcParams(P=15.0, R=2.6, L=32, M=8, modulated=True, K=4,
+                    is_complex=True)
+    a = DftDesign.for_params(p, 1.0, seed=1)
+    b = DftDesign.for_params(p, 1.0, seed=2)
+    c = a.with_leaves(b.rows, b.cols)
+    assert (c.w, c.n, c.LM, c.scale) == (a.w, a.n, a.LM, a.scale)
+    np.testing.assert_array_equal(np.asarray(c.rows), np.asarray(b.rows))
+    x = jnp.ones(a.LM, jnp.complex64)
+    np.testing.assert_allclose(np.asarray(jnp.real(c.ab(x))),
+                               np.asarray(jnp.real(b.ab(x))), rtol=1e-6)
